@@ -1,0 +1,168 @@
+"""Multi-head attention with training (full-sequence) and incremental
+(KV-cache) paths.
+
+Topology matches reference transformer/attention.py:29-122: fused bias-free QKV
+projection for self-attention, separate Q + fused KV for cross-attention,
+queries scaled by ``d_head**-0.5``, additive bias, softmax in fp32, dropout on
+the attention weights, bias-free output projection.  ``align`` is the softmax
+weights transposed to [B, H, memory, query] as in the reference.
+
+TPU-first additions the reference does not have:
+  * an incremental ``decode_self_step`` / ``decode_cross_step`` path with KV
+    caches, turning the reference's O(T^3) full-prefix re-forward
+    (reference synthesize.py:35-54) into O(T^2) decode;
+  * bf16 matmuls with fp32 softmax/accumulation (MXU-friendly);
+  * an optional Pallas flash-attention kernel for the full-sequence path
+    (ops/pallas_attention.py) used when no alignment tensor is requested.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .common import split_heads, combine_heads, variance_scaling_init, NEG_INF
+
+
+class MultiheadAttention(nn.Module):
+    key_size: int
+    value_size: int
+    is_self_attention: bool
+    num_heads: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    def setup(self):
+        assert self.key_size % self.num_heads == 0
+        assert self.value_size % self.num_heads == 0
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype,
+            kernel_init=variance_scaling_init(), name=name)
+        if self.is_self_attention:
+            self.qkv_transform = dense(self.key_size * 2 + self.value_size,
+                                       "qkv_transform")
+        else:
+            self.q_transform = dense(self.key_size, "q_transform")
+            self.kv_transform = dense(self.key_size + self.value_size,
+                                      "kv_transform")
+        self.output_transform = dense(self.key_size, "output_transform")
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
+
+    # ---------------- full-sequence path (training / teacher forcing) -------
+
+    def __call__(self, queries: jnp.ndarray, memories: Optional[jnp.ndarray],
+                 bias: Optional[jnp.ndarray], deterministic: bool = True,
+                 need_align: bool = False):
+        """queries [B, Tq, C]; memories [B, Tm, C] or None for self-attention.
+
+        Returns (outputs [B, Tq, C], align [B, H, Tm, Tq] or None).
+        """
+        if self.is_self_attention:
+            combined = self.qkv_transform(queries)
+            q, k, v = jnp.split(
+                combined, [self.key_size, self.key_size * 2], axis=-1)
+        else:
+            q = self.q_transform(queries)
+            combined = self.kv_transform(memories)
+            k, v = jnp.split(combined, [self.key_size], axis=-1)
+
+        q = split_heads(q, self.num_heads)
+        k = split_heads(k, self.num_heads)
+        v = split_heads(v, self.num_heads)
+        depth = self.key_size // self.num_heads
+        q = q * (depth ** -0.5)
+
+        use_kernel = (self.use_pallas and not need_align and deterministic
+                      and jax.default_backend() == "tpu")
+        if use_kernel:
+            from ..ops.pallas_attention import flash_attention
+            ctx = flash_attention(q, k, v, bias)
+            align = None
+        else:
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k,
+                preferred_element_type=jnp.float32).astype(jnp.float32)
+            if bias is not None:
+                logits = logits + bias
+            weights = jax.nn.softmax(logits, axis=-1)
+            align = weights.transpose(0, 1, 3, 2) if need_align else None
+            weights = self.attn_dropout(weights, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(self.dtype), v,
+                             preferred_element_type=jnp.float32)
+
+        x = combine_heads(ctx.astype(self.dtype))
+        return self.output_transform(x), align
+
+    # ---------------- incremental path (AR decode) --------------------------
+
+    def project_kv(self, memories: jnp.ndarray):
+        """Precompute split-head cross-attention K/V from encoder memory.
+
+        Returns (k [B, H, Tm, Dk], v [B, H, Tm, Dv]).
+        """
+        assert not self.is_self_attention
+        combined = self.kv_transform(memories)
+        k, v = jnp.split(combined, [self.key_size], axis=-1)
+        return split_heads(k, self.num_heads), split_heads(v, self.num_heads)
+
+    def decode_self_step(self, x: jnp.ndarray, cache_k: jnp.ndarray,
+                         cache_v: jnp.ndarray, step: jnp.ndarray,
+                         deterministic: bool = True):
+        """One causal self-attention step.
+
+        x: [B, C] current (layer-normed) input.  cache_k/v: [B, H, Tcap, D].
+        step: scalar int32 current position.  Returns (out [B, C], new caches).
+        """
+        assert self.is_self_attention
+        combined = self.qkv_transform(x)              # [B, 2K + V]
+        q, k, v = jnp.split(combined, [self.key_size, self.key_size * 2], axis=-1)
+        b = x.shape[0]
+        depth = self.key_size // self.num_heads
+        q = (q * depth ** -0.5).reshape(b, self.num_heads, depth)
+        k = k.reshape(b, self.num_heads, depth)
+        v = v.reshape(b, self.num_heads, -1)
+
+        cache_k = jax.lax.dynamic_update_index_in_dim(cache_k, k, step, axis=2)
+        cache_v = jax.lax.dynamic_update_index_in_dim(cache_v, v, step, axis=2)
+
+        logits = jnp.einsum("bhd,bhtd->bht", q, cache_k,
+                            preferred_element_type=jnp.float32).astype(jnp.float32)
+        t_cap = cache_k.shape[2]
+        causal = jnp.arange(t_cap)[None, None, :] <= step
+        logits = jnp.where(causal, logits, NEG_INF)
+        weights = jax.nn.softmax(logits, axis=-1)
+        weights = self.attn_dropout(weights, deterministic=deterministic)
+        ctx = jnp.einsum("bht,bhtd->bhd", weights.astype(self.dtype), cache_v,
+                         preferred_element_type=jnp.float32)
+        out = self.output_transform(
+            ctx.astype(self.dtype).reshape(b, self.value_size))
+        return out, cache_k, cache_v
+
+    def decode_cross_step(self, x: jnp.ndarray, mem_k: jnp.ndarray,
+                          mem_v: jnp.ndarray, mem_bias: jnp.ndarray,
+                          deterministic: bool = True):
+        """One cross-attention step.
+
+        x: [B, C]; mem_k/v: [B, H, Tm, D]; mem_bias: [B, 1, 1, Tm] additive.
+        Returns (out [B, C], align [B, H, Tm]).
+        """
+        assert not self.is_self_attention
+        q = self.q_transform(x)
+        b = x.shape[0]
+        depth = self.key_size // self.num_heads
+        q = (q * depth ** -0.5).reshape(b, self.num_heads, depth)
+        logits = jnp.einsum("bhd,bhtd->bht", q, mem_k,
+                            preferred_element_type=jnp.float32).astype(jnp.float32)
+        logits = logits + mem_bias[:, 0, 0, :][:, None, :]
+        weights = jax.nn.softmax(logits, axis=-1)
+        align = weights
+        weights = self.attn_dropout(weights, deterministic=deterministic)
+        ctx = jnp.einsum("bht,bhtd->bhd", weights.astype(self.dtype), mem_v,
+                         preferred_element_type=jnp.float32)
+        out = self.output_transform(
+            ctx.astype(self.dtype).reshape(b, self.value_size))
+        return out, align
