@@ -1,0 +1,232 @@
+"""Autoregressive synthesis: jit'd ``lax.while_loop`` greedy decode with
+per-layer KV caches.
+
+Replaces the reference's full-prefix re-forward per frame (reference
+synthesize.py:17-72, O(T^3) per utterance, no KV cache) with an O(T^2)
+incremental decode.  Stop/finished semantics are identical: per-sample
+``finished`` latches on ``stop_logit > 0``, ``target_lengths`` freeze at the
+stop frame, generation caps at ``hp.max_generation_frames``, the postnet runs
+once at the end, and RTF is logged as ``wall_time * 80 / frames``
+(reference synthesize.py:65-67).
+
+Two dropout modes (SURVEY.md section 7 hard-part 3):
+  * deterministic=True — dropout off; the generated sequence is exactly
+    self-consistent under the teacher-forced decoder (tested).
+  * deterministic=False — decoder dropout ON, replicating the reference's
+    ``m.eval(); m.decoder.train()`` behavior (reference eval.py:116-117).
+    Note the reference resamples prefix dropout every frame (a side effect of
+    having no KV cache); with a cache each frame's dropout is sampled once —
+    same marginal distribution per step, different correlation structure.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import threading
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.common import length_mask, padding_bias
+from ..models.tacotron import ByteToMel
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "max_frames", "deterministic",
+                     "collect_alignments"))
+def _decode_loop(model: ByteToMel, variables, inputs, input_lengths,
+                 input_spk_ids, input_language_vecs, rng,
+                 max_frames: int, deterministic: bool,
+                 collect_alignments: bool):
+    hp = model.hp
+    b, t_in = inputs.shape
+    n_layers = hp.n_decoder_layer
+    heads = hp.n_attention_head
+
+    enc, memory_kv = model.apply(
+        variables, inputs, input_lengths, input_spk_ids, input_language_vecs,
+        method=ByteToMel.encode)
+    memory_bias = padding_bias(length_mask(input_lengths, t_in))
+    cache = model.apply(variables, b, max_frames,
+                        method=ByteToMel.init_decode_cache)
+
+    mels_buf = jnp.zeros((b, max_frames, hp.num_mels), jnp.float32)
+    align_dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    align_buf = jnp.zeros(
+        (n_layers, b, heads, max_frames if collect_alignments else 1, t_in),
+        align_dt)
+
+    def cond(state):
+        step, finished = state[0], state[1]
+        return jnp.logical_and(step < max_frames,
+                               jnp.logical_not(jnp.all(finished)))
+
+    def body(state):
+        (step, finished, target_lengths, prev_mel, mels, aligns, cache,
+         key) = state
+        key, sub = jax.random.split(key)
+        rngs = None if deterministic else {"dropout": sub}
+
+        def step_fn(mdl):
+            # Finished samples feed zeros — equivalent to the reference's
+            # impute of prenet outputs beyond frozen target_lengths
+            # (reference modules.py:114, synthesize.py:39-45).
+            x = mdl.decoder.prenet(prev_mel.astype(mdl.dtype),
+                                   deterministic=deterministic)
+            x = jnp.where(finished[:, None], 0.0, x)
+            out, new_cache, align = mdl.decoder.decoder.decode_step(
+                x, step, cache, memory_kv, memory_bias,
+                deterministic=deterministic)
+            mel = mdl.decoder.mel_net(out).astype(jnp.float32)
+            stop = mdl.decoder.stop_net(out)[..., 0].astype(jnp.float32)
+            return mel, stop, new_cache, align
+
+        mel_t, stop_t, cache, align_t = model.apply(
+            variables, method=step_fn, rngs=rngs)
+
+        mels = jax.lax.dynamic_update_index_in_dim(mels, mel_t, step, axis=1)
+        if collect_alignments:
+            aligns = jax.lax.dynamic_update_index_in_dim(
+                aligns, align_t.astype(aligns.dtype), step, axis=3)
+        stop = stop_t > 0
+        finished = jnp.logical_or(finished, stop)
+        target_lengths = jnp.where(finished, target_lengths, target_lengths + 1)
+        return (step + 1, finished, target_lengths, mel_t, mels, aligns,
+                cache, key)
+
+    init = (jnp.asarray(0, jnp.int32),
+            jnp.zeros((b,), jnp.bool_),
+            jnp.ones((b,), jnp.int32),
+            jnp.zeros((b, hp.num_mels), jnp.float32),
+            mels_buf, align_buf, cache, rng)
+    (n_steps, finished, target_lengths, _, mels, aligns, _, _) = \
+        jax.lax.while_loop(cond, body, init)
+
+    # postnet once at the end (reference synthesize.py:56); eval mode.
+    residual = model.apply(variables, mels, target_lengths,
+                           method=ByteToMel.postnet_residual)
+    mel_aft = mels + residual
+    return mels, mel_aft, target_lengths, aligns, n_steps
+
+
+def synthesize_batch(model: ByteToMel, variables, batch: Dict[str, Any],
+                     hp: Config, deterministic: bool = False,
+                     rng: Optional[jax.Array] = None,
+                     collect_alignments: bool = True,
+                     max_frames: Optional[int] = None) -> Dict[str, Any]:
+    """Greedy AR synthesis of a packed batch (reference synthesize.py:17-72).
+
+    batch needs: inputs [B, Tin] int32, input_lengths [B]; optional
+    input_spk_ids, input_language_vecs, names.  Returns the reference's result
+    dict: names, mel_pre, mel_aft, alignments, input_lengths,
+    generated_lengths.
+    """
+    tic = time.time()
+    inputs = np.asarray(batch["inputs"])
+    b, t_in = inputs.shape
+    # shape lattice: pad T_in and B so repeated calls reuse compiled kernels
+    t_pad = _round_up(max(t_in, 1), hp.input_length_multiple)
+    b_pad = _round_up(b, hp.batch_size_multiple)
+    inputs_p = np.zeros((b_pad, t_pad), np.int32)
+    inputs_p[:b, :t_in] = inputs
+    input_lengths = np.zeros((b_pad,), np.int32)
+    input_lengths[:b] = np.asarray(batch["input_lengths"])
+    # padded rows get length 1 to keep softmax well-defined; they stop on cap
+    input_lengths[b:] = 1
+    spk = np.zeros((b_pad,), np.int32)
+    if batch.get("input_spk_ids") is not None:
+        spk[:b] = np.asarray(batch["input_spk_ids"], np.int32)
+    lvec = np.zeros((b_pad, hp.max_num_language), np.float32)
+    if batch.get("input_language_vecs") is not None:
+        lvec[:b] = np.asarray(batch["input_language_vecs"], np.float32)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(int(time.time() * 1e6) % (2 ** 31))
+    cap = int(max_frames or hp.max_generation_frames)
+
+    mels, mel_aft, target_lengths, aligns, n_steps = _decode_loop(
+        model, variables, jnp.asarray(inputs_p), jnp.asarray(input_lengths),
+        jnp.asarray(spk), jnp.asarray(lvec), rng,
+        max_frames=cap, deterministic=deterministic,
+        collect_alignments=collect_alignments)
+
+    mels = np.asarray(mels)[:b]
+    mel_aft = np.asarray(mel_aft)[:b]
+    target_lengths = np.asarray(target_lengths)[:b]
+    n_steps = int(n_steps)
+    toc = time.time()
+    total_length = int(target_lengths.sum())
+    logging.info(
+        "Time: %.4f, Samples: %d, Length: %d, Max length: %d, "
+        "Real-time Factor: %.4f",
+        toc - tic, b, total_length, int(target_lengths.max()),
+        (toc - tic) / max(total_length, 1) * 80)
+
+    alignments = {"self": None, "encdec": None}
+    if collect_alignments:
+        a = np.asarray(aligns.astype(jnp.float32))[:, :b, :, :n_steps, :t_in]
+        # reference layout: list per layer of [B, H, T_enc(mem), T_dec(query)]
+        alignments["encdec"] = [a[i].transpose(0, 1, 3, 2)
+                                for i in range(a.shape[0])]
+
+    return {"names": batch.get("names", [str(i) for i in range(b)]),
+            "mel_pre": mels[:, :n_steps], "mel_aft": mel_aft[:, :n_steps],
+            "alignments": alignments,
+            "input_lengths": list(np.asarray(batch["input_lengths"])),
+            "generated_lengths": list(target_lengths)}
+
+
+def save_eval_results(names, mel_pre, mel_aft, alignments, input_lengths,
+                      generated_lengths, output_dir, hp: Config,
+                      save_trimmed_wave: bool = False,
+                      n_plot_alignment: Optional[int] = None):
+    """Save per-sample mel npy, Griffin-Lim wav, plots (reference
+    synthesize.py:75-106); 4-thread pool as in the reference."""
+    from ..ops import dsp
+    from ..utils import infolog
+
+    def save_i(i):
+        try:
+            name = names[i]
+            mel = mel_aft[i][:generated_lengths[i]]
+            np.save(os.path.join(output_dir, "%s.npy" % name), mel)
+            wav = dsp.mel2wav(mel, hp)
+            dsp.save_wav(wav, os.path.join(output_dir, "%s.wav" % name), hp.sr)
+            if save_trimmed_wave:
+                wav_trim = dsp.trim_silence_intervals(wav, hp)
+                dsp.save_wav(wav_trim,
+                             os.path.join(output_dir, "%s_trim.wav" % name),
+                             hp.sr)
+            infolog.plot_mel(os.path.join(output_dir, "%s_mel.png" % name), mel)
+            if (n_plot_alignment is None or i < n_plot_alignment) and \
+                    alignments.get("encdec") is not None:
+                aligns = [a[i].transpose([0, 2, 1])
+                          for a in alignments["encdec"]]
+                infolog.plot_attn(
+                    aligns, os.path.join(output_dir, "%s_align.png" % name),
+                    enc_length=input_lengths[i],
+                    dec_length=generated_lengths[i])
+        except Exception:
+            logging.error("Fail to produce eval output: %s", names[i])
+            logging.error(traceback.format_exc())
+
+    tic = time.time()
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futures = [ex.submit(save_i, i) for i in range(len(names))]
+        [f.result() for f in futures]
+    logging.info("[%s] Finished saving evals in %.2f secs: %s",
+                 threading.current_thread().name, time.time() - tic,
+                 str(names))

@@ -223,6 +223,9 @@ def mel2wav(mel: np.ndarray, hp: Config) -> np.ndarray:
     mel = denormalize_mel(mel.T, hp)
     mel = np.power(10.0, mel * 0.05)           # db -> amplitude
     mag = mel_to_linear(mel, hp)
+    if mag.shape[1] * hp.hop_length <= hp.n_fft:
+        # too short to invert (center trim consumes n_fft samples)
+        return np.zeros(max(1, mag.shape[1]) * hp.hop_length, dtype=np.float32)
     wav = griffin_lim(mag ** hp.power, hp)
     wav = deemphasis(wav, hp.preemphasis)
     return wav.astype(np.float32)
@@ -269,7 +272,8 @@ def save_wav(wav: np.ndarray, path: str, sr: int = 16000) -> str:
 
 def _frame_rms(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
     """Centered RMS per frame (librosa.feature.rms semantics, reflect pad)."""
-    y = np.pad(y, frame_length // 2, mode="reflect")
+    mode = "reflect" if len(y) > frame_length // 2 else "constant"
+    y = np.pad(y, frame_length // 2, mode=mode)
     n_frames = 1 + (len(y) - frame_length) // hop_length
     idx = (np.arange(n_frames)[:, None] * hop_length) + np.arange(frame_length)[None, :]
     return np.sqrt(np.mean(y[idx] ** 2, axis=-1))
