@@ -70,7 +70,9 @@ def mask_reduce(loss: jnp.ndarray, lengths: jnp.ndarray,
     """Length-masked mean of a [B, T] loss (reference transformer/common.py:73-87)."""
     masked = impute(loss, lengths)
     if per_sample:
-        return masked.sum(-1) / lengths
+        # guard: lattice-padded rows have length 0 (their values are dropped
+        # host-side); reference rows always have length >= 1
+        return masked.sum(-1) / jnp.maximum(lengths, 1)
     return masked.sum() / lengths.sum()
 
 
