@@ -1,0 +1,35 @@
+"""Eval-service CLI — same surface as the reference's eval.py (reference
+eval.py:221-251): watches model_dir for checkpoints, synthesizes eval batches,
+computes DTW-MSE and (optionally) Azure CER."""
+
+import argparse
+
+from few_shot_transformer_tts_tpu.config import default_config
+from few_shot_transformer_tts_tpu.infer import evalservice
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--model-dir', required=True)
+    parser.add_argument('--log-dir', required=True)
+    parser.add_argument('--data-dir', required=True)
+    parser.add_argument('--no_wait', default=None)
+    parser.add_argument('--zipfilepath', type=str, default=None)
+    parser.add_argument('--eval_meta', type=str, default=None)
+    parser.add_argument('--eval_languages', type=str, default=None)
+    parser.add_argument('--eval_speakers', type=str, default=None)
+    parser.add_argument('--exclude_speakers', type=str, default=None)
+    parser.add_argument('--recover_eval', type=bool, default=None)
+    parser.add_argument('--start_step', type=int, default=50000)
+    parser.add_argument('--eval_steps', type=str, default=None)
+    parser.add_argument('--eval_interval', type=int, default=10000)
+    parser.add_argument('--scan_interval', type=int, default=600)
+    parser.add_argument('--hparams', default='')
+    return parser
+
+
+if __name__ == '__main__':
+    args, unparsed = build_parser().parse_known_args()
+    print('unparsed:', unparsed)
+    hp = default_config().parse(args.hparams)
+    evalservice.main(args, hp)

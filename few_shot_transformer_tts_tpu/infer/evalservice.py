@@ -1,0 +1,219 @@
+"""Always-on eval service: checkpoint-watcher loop with MSE-DTW and CER.
+
+Mirrors reference eval.py:62-218: scan model_dir for ``model.ckpt-*`` (filtered
+by start_step / eval_steps / eval_interval), synthesize all eval batches with
+decoder dropout ON, save wavs/plots via a worker pool, compute DTW-MSE against
+ground-truth mels and (when azure_key.json exists) CER via Azure STT, write
+per-language scalars, optionally one-shot (--no_wait) or resume
+(--recover_eval).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+
+import numpy as np
+
+from ..config import Config
+from ..data import FeederEval
+from ..frontend.text import language_vec_to_id
+from ..models.tacotron import ByteToMel
+from ..utils import infolog, metrics
+from ..train import checkpoint as ckpt_lib
+from ..train.loop import create_state, device_batch
+from .synthesize import synthesize_batch, save_eval_results
+
+
+def run_transcription(eval_path, names, existent_samples, meta_index,
+                      cer_window, step):
+    """Transcribe + cache in transcriptions.jsonl (reference eval.py:27-59)."""
+    trans_path = os.path.join(eval_path, "transcriptions.jsonl")
+    if os.path.exists(trans_path):
+        lines = [json.loads(l) for l in
+                 open(trans_path, encoding="utf-8").read().splitlines()]
+        found_names = [t["name"] for t in lines if t["DisplayText"]]
+        transcribe_names = set(names + [n for n in existent_samples
+                                        if n not in found_names])
+        logging.info("Exist transcriptions skipped: %s",
+                     str(set(found_names).difference(transcribe_names)))
+        prev_trans = [t for t in lines
+                      if t["name"] not in transcribe_names and t["DisplayText"]]
+    else:
+        transcribe_names = names + existent_samples
+        prev_trans = []
+    trans = []
+    for n in transcribe_names:
+        if n + ".npy" in meta_index:
+            trans.append(metrics.transcribe(
+                wav_path=os.path.join(eval_path, n + "_trim.wav"),
+                meta=meta_index[n + ".npy"],
+                id_to_lang=lambda x: x.replace("_", "-")))
+    trans += prev_trans
+    trans.sort(key=lambda x: x["name"])
+    with open(trans_path, "w", encoding="utf-8") as fw:
+        for t in trans:
+            fw.write(json.dumps(t, ensure_ascii=False) + "\n")
+    logging.info("[Step %d] Raw CER=%.3f", step,
+                 float(np.mean([t["cer"] for t in trans])) if trans else 1.0)
+    keys, values = [], []
+    for t in trans:
+        if "fail" not in t:
+            keys.append(t["locale"])
+            values.append(t["cer"])
+        else:
+            logging.warning("Failed sample: %s", t["name"])
+    cer_window.update(keys, values)
+
+
+def main(args, hp: Config):
+    logdir, model_dir, data_dir = args.log_dir, args.model_dir, args.data_dir
+    import datetime
+    os.makedirs(logdir, exist_ok=True)
+    open(os.path.join(logdir, "hparams.json"), "w").write(hp.to_json(indent=1))
+    open(os.path.join(logdir, "args.json"), "w").write(
+        json.dumps(vars(args), indent=1, default=str))
+    time_id = datetime.datetime.now().strftime("%m%d_%H%M")
+    infolog.set_logger(os.path.join(logdir, "outputs_%s.log" % time_id))
+    writer = infolog.MetricWriter(logdir)
+
+    eval_steps = [int(s) for s in args.eval_steps.split(":")] \
+        if args.eval_steps else None
+    lang_to_id = json.load(open(os.path.join(data_dir, "lang_id.json"))) \
+        if hp.multi_lingual else None
+    spk_to_id = json.load(open(os.path.join(data_dir, "spk_id.json"))) \
+        if hp.multi_speaker else None
+    filter_keys = json.load(open("filter_keys.json")) \
+        if os.path.exists("filter_keys.json") else {}
+
+    def split_arg(v):
+        if v in filter_keys:
+            return filter_keys[v]
+        return v.split(":") if v else None
+
+    zipfilepath = args.zipfilepath or os.path.join(data_dir, "mels.zip")
+    if not os.path.exists(zipfilepath):
+        zipfilepath = None
+    eval_meta = args.eval_meta or os.path.join(data_dir, "metadata.eval.txt")
+    feeder_eval = FeederEval(
+        zipfilepath, eval_meta, hp, spk_to_id=spk_to_id, lang_to_id=lang_to_id,
+        eval_lang=split_arg(args.eval_languages),
+        eval_spk=split_arg(args.eval_speakers),
+        exclude_spk=split_arg(args.exclude_speakers),
+        shuffle=True, keep_order=True, pick_partial=False, single=False)
+    meta_index = {m["n"]: m for m in feeder_eval._metadata}
+
+    model = ByteToMel(hp)
+    # template state for deserialization
+    import jax
+    probe = feeder_eval.data[0]
+    template_batch = dict(device_batch(probe))
+    if "mel_targets" not in template_batch:
+        template_batch["mel_targets"] = np.zeros(
+            (template_batch["inputs"].shape[0], 8, hp.num_mels), np.float32)
+        template_batch["target_lengths"] = np.full(
+            (template_batch["inputs"].shape[0],), 8, np.int32)
+    state_template = create_state(model, hp, jax.random.PRNGKey(0),
+                                  template_batch)
+
+    if hp.multi_lingual:
+        id_to_lang = {v: k for k, v in lang_to_id.items()}
+
+    ckpt = []
+    finished_ckpt = []
+    while True:
+        if len(ckpt) == 0:
+            logging.info("Scanning: %s", model_dir)
+            for l in glob.iglob(os.path.join(model_dir, "model.ckpt-*")):
+                step = l.split("-")[-1]
+                if l not in finished_ckpt and step.isnumeric():
+                    if eval_steps and int(step) in eval_steps:
+                        pass
+                    elif int(step) < args.start_step or \
+                            (eval_steps and int(step) not in eval_steps) or \
+                            int(step) % args.eval_interval != 0:
+                        continue
+                    ckpt.append((l, int(step)))
+            ckpt.sort(key=lambda x: x[-1])
+        if len(ckpt) == 0:
+            if args.no_wait:
+                logging.info("No more ckpt, exit")
+                return
+            logging.info("No ckpt found, sleeping...")
+            time.sleep(args.scan_interval)
+            continue
+
+        tic = time.time()
+        ckpt_path, step = ckpt[0]
+        ckpt = ckpt[1:]
+        eval_path = os.path.join(logdir, "eval_%d" % step)
+        logging.info("Evaluating %s", ckpt_path)
+        os.makedirs(eval_path, exist_ok=True)
+
+        existent_samples = []
+        for f in glob.iglob(os.path.join(eval_path, "*_trim.wav")):
+            existent_samples.append(os.path.split(f)[-1][:-9])
+        if len(existent_samples) == 0 or not args.recover_eval:
+            batches = feeder_eval.fetch_data()
+        else:
+            logging.info("%d samples found and skipped", len(existent_samples))
+            batches = feeder_eval.fetch_data(exclude=existent_samples)
+
+        summary_windows = []
+        if zipfilepath:
+            mse = infolog.LookupWindow("mse_dtw", reduction="avg")
+            summary_windows.append(mse)
+        cer = infolog.LookupWindow("cer", reduction="avg")
+        summary_windows.append(cer)
+
+        state = ckpt_lib.load_state(ckpt_path, state_template)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logging.info("Running %d batches, to %s", len(batches), eval_path)
+        batches = batches[:hp.max_eval_batches]
+        executor = ThreadPoolExecutor(max_workers=5)
+        eval_futures = []
+        names = []
+        evaltime = 0.0
+        for i, batch in enumerate(batches):
+            logging.info("[Batch %d] Generating %s", i, str(batch["names"]))
+            eval_tic = time.time()
+            results = synthesize_batch(model, variables, batch, hp,
+                                       deterministic=False)
+            evaltime += time.time() - eval_tic
+            results["mel_pre"] = None
+            results["alignments"]["self"] = None
+            fn = partial(save_eval_results, **results, output_dir=eval_path,
+                         hp=hp, save_trimmed_wave=True)
+            logging.info("[Batch %d] Submit thread: %s", i, str(batch["names"]))
+            eval_futures.append(executor.submit(fn))
+            names.extend(batch["names"])
+
+            if "input_language_vecs" in batch:
+                lvs = np.asarray(batch["input_language_vecs"])
+                langs = [id_to_lang[language_vec_to_id(lv)] for lv in
+                         lvs[:len(batch["names"])]]
+            else:
+                langs = ["" for _ in batch["names"]]
+            if zipfilepath:
+                mse.update(langs, metrics.calculate_mse_dtw(
+                    results["mel_aft"], results["generated_lengths"],
+                    batch["mel_targets"], batch["target_lengths"]))
+        [f.result() for f in eval_futures]
+        executor.shutdown()
+
+        if metrics.transcribe_available():
+            run_transcription(eval_path, names, existent_samples, meta_index,
+                              cer, step)
+        for window in summary_windows:
+            for k, v in window.summary():
+                writer.add_scalar(k, v, step)
+            window.clear()
+        logging.info("Finished eval in %.3f sec (sample generation %.3f)",
+                     time.time() - tic, evaltime)
+        finished_ckpt.append(ckpt_path)

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from ..config import Config
 from .common import (
-    impute, mask_reduce, truncated_normal_init, variance_scaling_init,
+    impute, length_mask, mask_reduce, truncated_normal_init,
+    variance_scaling_init,
 )
 from .modules import TransformerEncoder, TransformerDecoder
 
@@ -113,10 +114,53 @@ class DecoderPrenet(nn.Module):
         return self.dense_final(x)
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over (batch, time) with padded frames EXCLUDED from batch
+    statistics.
+
+    TPU-native divergence from the reference: torch BatchNorm1d
+    (reference tacotron.py:79) computes stats over all positions including
+    padding, which would make training depend on how much lattice padding a
+    batch carries.  Masking the stats makes the train step invariant to both
+    time- and batch-axis padding (tested).  Eval parity with the reference is
+    exact either way: inference uses the stored running statistics.  Running
+    var uses torch's unbiased update; normalization uses biased variance.
+    """
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths, use_running_average: bool):
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mask = length_mask(lengths, x.shape[1]).astype(jnp.float32)[..., None]
+            n = jnp.maximum(mask.sum(), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = (xf * mask).sum(axis=(0, 1)) / n
+            var = (jnp.square(xf - mean) * mask).sum(axis=(0, 1)) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = self.momentum * ra_mean.value + \
+                    (1.0 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + \
+                    (1.0 - self.momentum) * unbiased
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class Postnet(nn.Module):
     """reference transformer/tacotron.py:68-90.  Layout is NWC throughout;
-    padded frames participate in batch statistics exactly as in the reference
-    (impute precedes each conv)."""
+    batch statistics are length-masked (see MaskedBatchNorm)."""
     hp: Config
     dtype: jnp.dtype = jnp.float32
 
@@ -130,9 +174,9 @@ class Postnet(nn.Module):
                 out_size, kernel_size=(5,), padding="SAME", use_bias=False,
                 dtype=self.dtype, kernel_init=variance_scaling_init(),
                 name=f"conv_layers_{i}"))
-            bns.append(nn.BatchNorm(
-                use_running_average=None, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=f"batchnorm_layers_{i}"))
+            bns.append(MaskedBatchNorm(
+                out_size, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                name=f"batchnorm_layers_{i}"))
         self.conv_layers = convs
         self.batchnorm_layers = bns
         self.dropout = nn.Dropout(hp.decoder_dropout_rate)
@@ -146,7 +190,8 @@ class Postnet(nn.Module):
         for i in range(n):
             x = impute(x, input_lengths)
             x = self.conv_layers[i](x)
-            x = self.batchnorm_layers[i](x, use_running_average=not train)
+            x = self.batchnorm_layers[i](x, input_lengths,
+                                         use_running_average=not train)
             if i != n - 1:
                 x = jnp.tanh(x)
             x = self.dropout(x, deterministic=deterministic)

@@ -1,0 +1,348 @@
+"""Training runtime: jitted sharded train step + host loop.
+
+Replaces reference train.py:25-249.  The step is one XLA program over the
+device mesh (batch sharded over 'data', params/opt-state replicated; XLA emits
+the gradient allreduce the reference got from NCCL DDP backward).  The host
+loop keeps the reference's cadence: windowed sec/step and loss logging,
+scalars every summary_interval, checkpoint + feeder state every
+checkpoint_interval, inline eval, crash/preemption-safe state saving.
+
+Divergence from the reference (documented): BatchNorm statistics are computed
+over the global (all-device) batch under jit, where torch DDP keeps per-rank
+batch stats; and the feeder state is saved on every checkpoint rather than
+only on crash (reference train.py:179-186), making every checkpoint a
+consistent resume point.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import signal
+import sys
+import time
+import traceback
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..frontend.text import language_vec_to_id
+from ..models.tacotron import ByteToMel, compute_loss, learning_rate_schedule
+from ..parallel import mesh as mesh_lib
+from ..utils import infolog
+from . import checkpoint as ckpt_lib
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+
+
+def make_optimizer(hp: Config) -> optax.GradientTransformation:
+    """Adam(eps=5e-8) with the reference LR schedule
+    (reference train.py:130-131, tacotron.py:176-179)."""
+    return optax.adam(
+        learning_rate=lambda count: learning_rate_schedule(count, hp),
+        eps=hp.adam_eps)
+
+
+def create_state(model: ByteToMel, hp: Config, rng, sample_batch: Dict,
+                 tx: Optional[optax.GradientTransformation] = None) -> TrainState:
+    tx = tx or make_optimizer(hp)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        inputs=jnp.asarray(sample_batch["inputs"]),
+        input_lengths=jnp.asarray(sample_batch["input_lengths"]),
+        mel_targets=jnp.asarray(sample_batch["mel_targets"]),
+        target_lengths=jnp.asarray(sample_batch["target_lengths"]),
+        input_spk_ids=jnp.asarray(sample_batch.get("input_spk_ids"))
+        if sample_batch.get("input_spk_ids") is not None else None,
+        input_language_vecs=jnp.asarray(sample_batch.get("input_language_vecs"))
+        if sample_batch.get("input_language_vecs") is not None else None,
+        train=True)
+    return TrainState(step=jnp.asarray(0, jnp.int32),
+                      params=variables["params"],
+                      opt_state=tx.init(variables["params"]),
+                      batch_stats=variables.get("batch_stats", {}))
+
+
+_BATCH_KEYS = ("inputs", "input_lengths", "mel_targets", "target_lengths",
+               "input_spk_ids", "input_language_vecs")
+
+
+def device_batch(batch: Dict) -> Dict:
+    return {k: batch[k] for k in _BATCH_KEYS if k in batch}
+
+
+def make_train_step(model: ByteToMel, hp: Config,
+                    tx: Optional[optax.GradientTransformation] = None,
+                    mesh=None, donate: bool = True):
+    """Build the jitted train step.  With a mesh, state is replicated and the
+    batch is sharded over 'data'."""
+    tx = tx or make_optimizer(hp)
+
+    def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        def loss_fn(params):
+            outputs, muts = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+                **batch)
+            losses = compute_loss(params, batch["mel_targets"],
+                                  batch["target_lengths"], outputs, hp)
+            return losses["loss"], (losses, muts)
+
+        grads, (losses, muts) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            batch_stats=muts.get("batch_stats", state.batch_stats))
+        losses["lr"] = learning_rate_schedule(state.step, hp)
+        return new_state, losses
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        batch_shardings = {k: data for k in _BATCH_KEYS}
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, batch_shardings, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else ())
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# host training loop (reference train.py:25-249)
+# ---------------------------------------------------------------------------
+
+
+def train(args, hp: Config):
+    logdir, model_dir, data_dir = args.log_dir, args.model_dir, args.data_dir
+    import json
+    import datetime
+
+    rank = getattr(args, "process_index", None)
+    if getattr(args, "multihost", False):
+        jax.distributed.initialize()
+    rank = jax.process_index()
+    world = jax.process_count()
+
+    time_id = datetime.datetime.now().strftime("%m%d_%H%M")
+    if rank == 0:
+        os.makedirs(model_dir, exist_ok=True)
+        os.makedirs(logdir, exist_ok=True)
+        infolog.set_logger(os.path.join(logdir, "outputs_%s.log" % time_id))
+        writer = infolog.MetricWriter(logdir)
+        open(os.path.join(logdir, "hparams.json"), "w").write(hp.to_json(indent=1))
+        open(os.path.join(logdir, "args.json"), "w").write(
+            json.dumps(vars(args), indent=1, default=str))
+    else:
+        infolog.set_logger()
+        writer = None
+    logging.info("Process %d/%d, devices: %s", rank, world, jax.devices())
+
+    if hasattr(signal, "SIGUSR1"):
+        import faulthandler
+        faulthandler.register(signal.SIGUSR1)
+
+    eval_steps = [int(s) for s in args.eval_steps.split(":")] \
+        if args.eval_steps else None
+
+    lang_to_id = json.load(open(os.path.join(data_dir, "lang_id.json"))) \
+        if hp.multi_lingual else None
+    spk_to_id = json.load(open(os.path.join(data_dir, "spk_id.json"))) \
+        if hp.multi_speaker else None
+    filter_keys = json.load(open("filter_keys.json")) \
+        if os.path.exists("filter_keys.json") else {}
+
+    def split_arg(v):
+        if v in filter_keys:
+            return filter_keys[v]
+        return v.split(":") if v else None
+
+    from ..data import Feeder, FeederEval
+    from ..data.metadata import parse_downsample_spec
+
+    zipfilepath = args.zipfilepath or os.path.join(data_dir, "mels.zip")
+    train_meta = args.train_meta or os.path.join(data_dir, "metadata.train.txt")
+    eval_meta = args.eval_meta or os.path.join(data_dir, "metadata.eval.txt")
+
+    feeder = Feeder(
+        zipfilepath, train_meta, hparams=hp, spk_to_id=spk_to_id,
+        lang_to_id=lang_to_id, rank=rank, world_size=world,
+        adapt_lang=split_arg(args.adapt_languages),
+        adapt_spk=split_arg(args.adapt_speakers),
+        train_lang=split_arg(args.training_languages),
+        train_spk=split_arg(args.training_speakers),
+        exclude_spk=split_arg(args.exclude_speakers),
+        downsample_lang=parse_downsample_spec(args.downsample_languages),
+        adapt_samples=split_arg(args.adapt_samples),
+        warmup_lang=split_arg(args.warmup_languages),
+        warmup_spk=split_arg(args.warmup_speakers))
+    feeder_eval = None
+    if rank == 0:
+        feeder_eval = FeederEval(
+            zipfilepath, eval_meta, hp, spk_to_id=spk_to_id,
+            lang_to_id=lang_to_id, eval_lang=split_arg(args.eval_languages),
+            eval_spk=split_arg(args.eval_speakers),
+            exclude_spk=split_arg(args.exclude_speakers), shuffle=True,
+            keep_order=True, pick_partial=True, single=False)
+
+    model = ByteToMel(hp)
+    mesh = mesh_lib.make_mesh(data=hp.mesh_data_axis, model=hp.mesh_model_axis)
+    tx = make_optimizer(hp)
+
+    # bootstrap state from the first batch's shapes
+    feeder.global_step = 1
+    probe = feeder.get_examples(2)
+    from ..data.feeder import _prepare_batch
+    sample_batch = _prepare_batch(probe, hparams=hp, pad_to_lattice=True)
+    state = create_state(model, hp, jax.random.PRNGKey(0),
+                         device_batch(sample_batch), tx)
+
+    global_step = 0
+    if args.restore_from:
+        state = ckpt_lib.load_state(args.restore_from, state)
+        global_step = int(state.step)
+        logging.info("Restore from %s, step %d", args.restore_from, global_step)
+    latest = ckpt_lib.find_ckpt(model_dir)
+    if latest:
+        state = ckpt_lib.load_state(latest, state)
+        global_step = int(state.step)
+        logging.info("Restore from previous run at %s from %s, step %d",
+                     model_dir, latest, global_step)
+    ckpt_lib.maybe_load_feeder_state(logdir, rank, feeder)
+
+    feeder.global_step = global_step
+    feeder.start()
+
+    train_step = make_train_step(model, hp, tx, mesh=mesh)
+    n_param = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    logging.info("Model parameters: %d", n_param)
+
+    time_window = infolog.ValueWindow(100)
+    loss_window = infolog.ValueWindow(100)
+    summary_windows = []
+    id_to_lang = None
+    if hp.multi_lingual:
+        id_to_lang = {v: k for k, v in lang_to_id.items()}
+        counts = infolog.LookupWindow("counts", reduction="total")
+        aft_losses = infolog.LookupWindow("aft_losses", reduction="avg")
+        summary_windows = [counts, aft_losses]
+
+    stop_requested = {}
+
+    def _on_term(signum, frame):
+        stop_requested["sig"] = signum
+    signal.signal(signal.SIGTERM, _on_term)
+
+    base_rng = jax.random.PRNGKey(args.seed if hasattr(args, "seed") else 0)
+
+    logging.info("Start training run")
+    while args.max_steps is None or global_step < args.max_steps:
+        tic = time.time()
+        batch = feeder.get_batch()
+        dbatch = mesh_lib.pad_batch_to_devices(device_batch(batch),
+                                               mesh.shape["data"])
+        dbatch = mesh_lib.shard_batch(dbatch, mesh)
+        rng = jax.random.fold_in(base_rng, global_step)
+
+        try:
+            state, losses = train_step(state, dbatch, rng)
+        except Exception:
+            logging.error("Failed, input shape: %s, target shape: %s",
+                          str(batch["inputs"].shape),
+                          str(batch["mel_targets"].shape))
+            traceback.print_exc()
+            # crash recovery (reference train.py:175-186): persist data + model
+            ckpt_lib.save_feeder_state(logdir, rank, feeder)
+            if rank == 0:
+                ckpt_lib.save_state(model_dir, jax.device_get(state),
+                                    global_step)
+            sys.exit(1)
+
+        global_step += 1
+        feeder.global_step = global_step
+
+        if rank == 0:
+            losses = {k: np.asarray(v) for k, v in losses.items()}
+            dur = time.time() - tic
+            time_window.append(dur)
+            loss_window.append(float(losses["mse_loss"]))
+            logging.info(
+                "[Step %d] %.3f sec/step (%.3f), lr=%.06f, loss=%.5f, "
+                "mse_loss=%.5f (Ave. %.5f)", global_step, dur,
+                time_window.average, float(losses["lr"]),
+                float(losses["loss"]), float(losses["mse_loss"]),
+                loss_window.average)
+
+            if hp.multi_lingual:
+                lvs = np.asarray(batch["input_language_vecs"])
+                lang_ids = [language_vec_to_id(lv) for lv in lvs]
+                langs = [id_to_lang[i] for i in lang_ids if i >= 0]
+                counts.update(langs, [1] * len(langs))
+                aft_losses.update(
+                    langs, list(np.asarray(losses["aft_losses"])[:len(langs)]))
+
+            if global_step % args.checkpoint_interval == 0 or stop_requested:
+                ckpt_lib.save_state(model_dir, jax.device_get(state),
+                                    global_step)
+                ckpt_lib.save_feeder_state(logdir, rank, feeder)
+                logging.info("Save checkpoint to %s", model_dir)
+
+            if global_step % args.summary_interval == 0 and writer:
+                for key in ["loss", "mse_loss", "l2", "stop_loss", "aft_loss"]:
+                    writer.add_scalar("losses/" + key, float(losses[key]),
+                                      global_step)
+                writer.add_scalar("lr", float(losses["lr"]), global_step)
+                for window in summary_windows:
+                    for k, v in window.summary():
+                        writer.add_scalar(k, v, global_step)
+                    window.clear()
+
+            run_inline_eval = (
+                (eval_steps and global_step in eval_steps) or
+                (eval_steps is None and
+                 global_step % args.checkpoint_interval == 0))
+            if run_inline_eval and feeder_eval is not None:
+                _inline_eval(model, state, hp, feeder_eval, logdir, global_step)
+        else:
+            if global_step % args.checkpoint_interval == 0:
+                ckpt_lib.save_feeder_state(logdir, rank, feeder)
+
+        if stop_requested:
+            logging.info("Termination signal received; state saved, exiting.")
+            break
+    return state, global_step
+
+
+def _inline_eval(model, state, hp, feeder_eval, logdir, global_step):
+    """Inline synthesis eval (reference train.py:225-249): decoder dropout ON."""
+    from ..infer import synthesize_batch, save_eval_results
+    eval_path = os.path.join(logdir, "eval_%d" % global_step)
+    os.makedirs(eval_path, exist_ok=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batches = feeder_eval.fetch_data()
+    logging.info("Running %d evals, to %s", len(batches), eval_path)
+    batches = batches[:hp.max_eval_batches]
+    for batch in batches:
+        try:
+            tic = time.time()
+            results = synthesize_batch(model, variables, batch, hp,
+                                       deterministic=False)
+            save_eval_results(**results, output_dir=eval_path, hp=hp,
+                              save_trimmed_wave=False)
+            logging.info("Finished batch in %.2f sec, samples: %s",
+                         time.time() - tic, batch["names"])
+        except Exception:
+            traceback.print_exc()

@@ -1,0 +1,49 @@
+"""Training CLI — same surface as the reference's train.py (reference
+train.py:251-299), driving the TPU training runtime."""
+
+import argparse
+
+from few_shot_transformer_tts_tpu.config import default_config
+from few_shot_transformer_tts_tpu.train.loop import train
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--model-dir', required=True,
+                        help="Directory to save checkpoints and resume")
+    parser.add_argument('--log-dir', required=True,
+                        help="Directory to save logs and metrics")
+    parser.add_argument('--data-dir', required=True,
+                        help="Directory with data and metadata")
+    parser.add_argument('--zipfilepath', type=str, default=None)
+    parser.add_argument('--train_meta', type=str, default=None)
+    parser.add_argument('--eval_meta', type=str, default=None)
+    parser.add_argument('--adapt_languages', type=str, default=None)
+    parser.add_argument('--adapt_speakers', type=str, default=None)
+    parser.add_argument('--training_languages', type=str, default=None)
+    parser.add_argument('--training_speakers', type=str, default=None)
+    parser.add_argument('--eval_languages', type=str, default=None)
+    parser.add_argument('--eval_speakers', type=str, default=None)
+    parser.add_argument('--warmup_languages', type=str, default=None)
+    parser.add_argument('--warmup_speakers', type=str, default=None)
+    parser.add_argument('--exclude_speakers', type=str, default=None)
+    parser.add_argument('--adapt_samples', type=str, default=None)
+    parser.add_argument('--downsample_languages', type=str, default=None)
+    parser.add_argument('--eval_steps', type=str, default=None)
+    parser.add_argument('--checkpoint_interval', type=int, default=10000)
+    parser.add_argument('--summary_interval', type=int, default=100)
+    parser.add_argument('--restore_from', default=None)
+    parser.add_argument('--hparams', default='', help='k=v,... overrides')
+    parser.add_argument('--multihost', action='store_true',
+                        help='jax.distributed multi-host training '
+                             '(replaces the reference --ddp flag)')
+    parser.add_argument('--max_steps', type=int, default=None)
+    parser.add_argument('--seed', type=int, default=0)
+    return parser
+
+
+if __name__ == '__main__':
+    args, unparsed = build_parser().parse_known_args()
+    print('unparsed:', unparsed)
+    hp = default_config().parse(args.hparams)
+    train(args, hp)
