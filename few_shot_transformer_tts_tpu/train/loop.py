@@ -55,22 +55,43 @@ def make_optimizer(hp: Config) -> optax.GradientTransformation:
 
 
 def create_state(model: ByteToMel, hp: Config, rng, sample_batch: Dict,
-                 tx: Optional[optax.GradientTransformation] = None) -> TrainState:
+                 tx: Optional[optax.GradientTransformation] = None,
+                 init_on_cpu: bool = True) -> TrainState:
+    """Initialize the train state.  Init runs on the host CPU backend by
+    default — compiling the init program for the accelerator is pure overhead
+    (minutes on a tunneled chip); the first train step transfers the state."""
     tx = tx or make_optimizer(hp)
-    variables = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        inputs=jnp.asarray(sample_batch["inputs"]),
-        input_lengths=jnp.asarray(sample_batch["input_lengths"]),
-        mel_targets=jnp.asarray(sample_batch["mel_targets"]),
-        target_lengths=jnp.asarray(sample_batch["target_lengths"]),
-        input_spk_ids=jnp.asarray(sample_batch.get("input_spk_ids"))
-        if sample_batch.get("input_spk_ids") is not None else None,
-        input_language_vecs=jnp.asarray(sample_batch.get("input_language_vecs"))
-        if sample_batch.get("input_language_vecs") is not None else None,
-        train=True)
+
+    def _init():
+        return model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            inputs=jnp.asarray(sample_batch["inputs"]),
+            input_lengths=jnp.asarray(sample_batch["input_lengths"]),
+            mel_targets=jnp.asarray(sample_batch["mel_targets"]),
+            target_lengths=jnp.asarray(sample_batch["target_lengths"]),
+            input_spk_ids=jnp.asarray(sample_batch.get("input_spk_ids"))
+            if sample_batch.get("input_spk_ids") is not None else None,
+            input_language_vecs=jnp.asarray(
+                sample_batch.get("input_language_vecs"))
+            if sample_batch.get("input_language_vecs") is not None else None,
+            train=True)
+
+    cpu = None
+    if init_on_cpu:
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            variables = _init()
+            opt_state = tx.init(variables["params"])
+    else:
+        variables = _init()
+        opt_state = tx.init(variables["params"])
     return TrainState(step=jnp.asarray(0, jnp.int32),
                       params=variables["params"],
-                      opt_state=tx.init(variables["params"]),
+                      opt_state=opt_state,
                       batch_stats=variables.get("batch_stats", {}))
 
 
