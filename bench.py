@@ -73,6 +73,32 @@ def main():
     log("sec/step: %.4f  batch_frames=%d  audio_s/batch=%.1f  loss=%.3f"
         % (dur, frames, audio_seconds, float(losses["loss"])))
 
+    # secondary diagnostic: AR-decode throughput with KV caches (the
+    # reference logs RTF = wall*80/frames — synthesize.py:65-67 — with an
+    # O(T^3) full-prefix re-forward; this decode is O(T^2))
+    try:
+        from few_shot_transformer_tts_tpu.infer import synthesize_batch
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        dec_batch = {
+            "inputs": batch["inputs"][:8], "input_lengths":
+                batch["input_lengths"][:8],
+            "input_spk_ids": batch["input_spk_ids"][:8],
+            "input_language_vecs": batch["input_language_vecs"][:8]}
+        # warmup/compile
+        synthesize_batch(model, variables, dec_batch, hp, deterministic=True,
+                         collect_alignments=False, max_frames=512)
+        tic = time.time()
+        out = synthesize_batch(model, variables, dec_batch, hp,
+                               deterministic=True, collect_alignments=False,
+                               max_frames=512)
+        dec_dur = time.time() - tic
+        dec_frames = int(np.sum(out["generated_lengths"]))
+        log("decode: %d frames in %.3fs = %.0f frames/s, RTF=%.4f (B=8)"
+            % (dec_frames, dec_dur, dec_frames / dec_dur,
+               dec_dur / max(dec_frames, 1) * 80))
+    except Exception as e:  # diagnostics must not break the headline metric
+        log("decode bench failed:", repr(e))
+
     baseline = None
     try:
         published = json.load(open(

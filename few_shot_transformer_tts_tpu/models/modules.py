@@ -58,6 +58,16 @@ def _layer_norm(dtype, name):
     return nn.LayerNorm(epsilon=1e-6, dtype=dtype, name=name)
 
 
+def _layer_classes(hp: Config):
+    """Attention/FFN classes, rematerialized when hp.remat is set (trades
+    recompute for activation memory on large configs; param paths unchanged).
+    static_argnums cover the trailing python-bool args."""
+    if hp.remat:
+        return (nn.remat(MultiheadAttention, static_argnums=(4, 5)),
+                nn.remat(FFNLayer, static_argnums=(2,)))
+    return MultiheadAttention, FFNLayer
+
+
 class TransformerEncoder(nn.Module):
     """reference transformer/modules.py:23-69."""
     input_size: int
@@ -67,20 +77,21 @@ class TransformerEncoder(nn.Module):
     def setup(self):
         hp = self.hp
         hidden = hp.encoder_hidden
+        mha_cls, ffn_cls = _layer_classes(hp)
         attns, attn_lns, ffns, ffn_lns = [], [], [], []
         for layer in range(hp.n_encoder_layer):
             in_size = self.input_size if layer == 0 else hidden
             attn_lns.append(_layer_norm(self.dtype, f"attn_layer_norms_{layer}"))
-            attns.append(MultiheadAttention(
+            attns.append(mha_cls(
                 key_size=in_size, value_size=in_size, is_self_attention=True,
                 num_heads=hp.n_attention_head,
                 dropout_rate=hp.transformer_dropout_rate, dtype=self.dtype,
                 use_pallas=hp.use_pallas_attention,
                 name=f"self_attentions_{layer}"))
             ffn_lns.append(_layer_norm(self.dtype, f"ffn_layer_norms_{layer}"))
-            ffns.append(FFNLayer(hidden, hidden * 4, hidden,
-                                 dropout_rate=hp.transformer_dropout_rate,
-                                 dtype=self.dtype, name=f"ffn_layers_{layer}"))
+            ffns.append(ffn_cls(hidden, hidden * 4, hidden,
+                                dropout_rate=hp.transformer_dropout_rate,
+                                dtype=self.dtype, name=f"ffn_layers_{layer}"))
         self.self_attentions = attns
         self.attn_layer_norms = attn_lns
         self.ffn_layers = ffns
@@ -100,12 +111,12 @@ class TransformerEncoder(nn.Module):
         x = self.dropout(x, deterministic=deterministic)
 
         for i in range(len(self.self_attentions)):
+            # positional args: remat-wrapped classes need the static bools
+            # in args, not kwargs
             y, _ = self.self_attentions[i](
-                queries=self.attn_layer_norms[i](x), memories=None, bias=bias,
-                deterministic=deterministic)
+                self.attn_layer_norms[i](x), None, bias, deterministic, False)
             x = x + self.dropout(y, deterministic=deterministic)
-            y = self.ffn_layers[i](self.ffn_layer_norms[i](x),
-                                   deterministic=deterministic)
+            y = self.ffn_layers[i](self.ffn_layer_norms[i](x), deterministic)
             x = x + self.dropout(y, deterministic=deterministic)
         return self.output_layer_norm(x)
 
@@ -119,27 +130,28 @@ class TransformerDecoder(nn.Module):
     def setup(self):
         hp = self.hp
         hidden = hp.decoder_hidden
+        mha_cls, ffn_cls = _layer_classes(hp)
         attns, attn_lns, xattns, xattn_lns, ffns, ffn_lns = [], [], [], [], [], []
         for layer in range(hp.n_decoder_layer):
             in_size = self.input_size if layer == 0 else hidden
             attn_lns.append(_layer_norm(self.dtype, f"attn_layer_norms_{layer}"))
-            attns.append(MultiheadAttention(
+            attns.append(mha_cls(
                 key_size=in_size, value_size=in_size, is_self_attention=True,
                 num_heads=hp.n_attention_head,
                 dropout_rate=hp.transformer_dropout_rate, dtype=self.dtype,
                 use_pallas=hp.use_pallas_attention,
                 name=f"self_attentions_{layer}"))
             xattn_lns.append(_layer_norm(self.dtype, f"encdec_layer_norms_{layer}"))
-            xattns.append(MultiheadAttention(
+            xattns.append(mha_cls(
                 key_size=hidden, value_size=hidden, is_self_attention=False,
                 num_heads=hp.n_attention_head,
                 dropout_rate=hp.transformer_dropout_rate, dtype=self.dtype,
                 use_pallas=hp.use_pallas_attention,
                 name=f"encdec_attentions_{layer}"))
             ffn_lns.append(_layer_norm(self.dtype, f"ffn_layer_norms_{layer}"))
-            ffns.append(FFNLayer(hidden, hidden * 4, hidden,
-                                 dropout_rate=hp.transformer_dropout_rate,
-                                 dtype=self.dtype, name=f"ffn_layers_{layer}"))
+            ffns.append(ffn_cls(hidden, hidden * 4, hidden,
+                                dropout_rate=hp.transformer_dropout_rate,
+                                dtype=self.dtype, name=f"ffn_layers_{layer}"))
         self.self_attentions = attns
         self.attn_layer_norms = attn_lns
         self.encdec_attentions = xattns
@@ -175,21 +187,18 @@ class TransformerDecoder(nn.Module):
         attn_align, encdec_align = [], []
         for i in range(len(self.self_attentions)):
             y, a = self.self_attentions[i](
-                queries=self.attn_layer_norms[i](x), memories=None,
-                bias=query_bias, deterministic=deterministic,
-                need_align=collect_alignments)
+                self.attn_layer_norms[i](x), None, query_bias, deterministic,
+                collect_alignments)
             attn_align.append(a)
             x = x + self.dropout(y, deterministic=deterministic)
 
             y, a = self.encdec_attentions[i](
-                queries=self.encdec_layer_norms[i](x), memories=memory,
-                bias=memory_bias, deterministic=deterministic,
-                need_align=collect_alignments)
+                self.encdec_layer_norms[i](x), memory, memory_bias,
+                deterministic, collect_alignments)
             encdec_align.append(a)
             x = x + self.dropout(y, deterministic=deterministic)
 
-            y = self.ffn_layers[i](self.ffn_layer_norms[i](x),
-                                   deterministic=deterministic)
+            y = self.ffn_layers[i](self.ffn_layer_norms[i](x), deterministic)
             x = x + self.dropout(y, deterministic=deterministic)
         outputs = self.output_layer_norm(x)
         outputs = impute(outputs, target_lengths)
@@ -244,8 +253,7 @@ class TransformerDecoder(nn.Module):
             aligns.append(a)
             x = x + self.dropout(y, deterministic=deterministic)
 
-            y = self.ffn_layers[i](self.ffn_layer_norms[i](x),
-                                   deterministic=deterministic)
+            y = self.ffn_layers[i](self.ffn_layer_norms[i](x), deterministic)
             x = x + self.dropout(y, deterministic=deterministic)
         out = self.output_layer_norm(x)
         return out, new_cache, jnp.stack(aligns)

@@ -295,17 +295,30 @@ def train(args, hp: Config):
         global_step += 1
         feeder.global_step = global_step
 
+        # profiler hooks (SURVEY.md section 5: the reference has only
+        # wall-clock windows; here a jax.profiler trace can be captured)
+        profile_dir = getattr(args, "profile_dir", None)
+        if profile_dir and global_step == getattr(args, "profile_step", 50):
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and global_step == getattr(args, "profile_step", 50) + \
+                getattr(args, "profile_n_steps", 5):
+            jax.block_until_ready(losses["loss"])
+            jax.profiler.stop_trace()
+            logging.info("Profiler trace written to %s", profile_dir)
+
         if rank == 0:
             losses = {k: np.asarray(v) for k, v in losses.items()}
             dur = time.time() - tic
             time_window.append(dur)
             loss_window.append(float(losses["mse_loss"]))
+            frames = int(np.sum(np.asarray(batch["target_lengths"])))
+            audio_s = frames * hp.frame_shift_ms / 1000.0
             logging.info(
                 "[Step %d] %.3f sec/step (%.3f), lr=%.06f, loss=%.5f, "
-                "mse_loss=%.5f (Ave. %.5f)", global_step, dur,
+                "mse_loss=%.5f (Ave. %.5f), %.1f audio_s/s", global_step, dur,
                 time_window.average, float(losses["lr"]),
                 float(losses["loss"]), float(losses["mse_loss"]),
-                loss_window.average)
+                loss_window.average, audio_s / max(dur, 1e-9))
 
             if hp.multi_lingual:
                 lvs = np.asarray(batch["input_language_vecs"])

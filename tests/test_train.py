@@ -192,3 +192,22 @@ def test_end_to_end_training_cli(tmp_path):
     Args.max_steps = 6
     state2, global_step2 = train(Args(), hp)
     assert global_step2 == 6
+
+
+def test_remat_matches_baseline():
+    """hp.remat must not change the computation (same loss, same param tree),
+    only the memory/recompute tradeoff."""
+    from few_shot_transformer_tts_tpu.config import small_test_config
+    hp0 = small_test_config()
+    hp1 = small_test_config(remat=True)
+    batch = make_batch(B=4, Tin=10, Tout=12)
+    m0, m1 = ByteToMel(hp0), ByteToMel(hp1)
+    s0 = create_state(m0, hp0, jax.random.PRNGKey(0), batch)
+    s1 = create_state(m1, hp1, jax.random.PRNGKey(0), batch)
+    assert jax.tree_util.tree_structure(s0.params) == \
+        jax.tree_util.tree_structure(s1.params)
+    _, l0 = make_train_step(m0, hp0, donate=False)(s0, batch,
+                                                   jax.random.PRNGKey(1))
+    _, l1 = make_train_step(m1, hp1, donate=False)(s1, batch,
+                                                   jax.random.PRNGKey(1))
+    assert float(l0["loss"]) == pytest.approx(float(l1["loss"]), rel=1e-5)

@@ -39,6 +39,10 @@ def build_parser():
                              '(replaces the reference --ddp flag)')
     parser.add_argument('--max_steps', type=int, default=None)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--profile_dir', default=None,
+                        help='capture a jax.profiler trace here')
+    parser.add_argument('--profile_step', type=int, default=50)
+    parser.add_argument('--profile_n_steps', type=int, default=5)
     return parser
 
 
