@@ -105,9 +105,12 @@ def device_batch(batch: Dict) -> Dict:
 
 def make_train_step(model: ByteToMel, hp: Config,
                     tx: Optional[optax.GradientTransformation] = None,
-                    mesh=None, donate: bool = True):
-    """Build the jitted train step.  With a mesh, state is replicated and the
-    batch is sharded over 'data'."""
+                    mesh=None, donate: bool = True,
+                    state_sharding=None):
+    """Build the jitted train step.  With a mesh, the batch is sharded over
+    'data' and the state is replicated — or sharded per ``state_sharding``
+    (see parallel/sharding_rules.state_shardings for the tensor-parallel
+    layout of scaled configs)."""
     tx = tx or make_optimizer(hp)
 
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
@@ -134,10 +137,11 @@ def make_train_step(model: ByteToMel, hp: Config,
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         batch_shardings = {k: data for k in _BATCH_KEYS}
+        st = state_sharding if state_sharding is not None else repl
         return jax.jit(
             step_fn,
-            in_shardings=(repl, batch_shardings, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(st, batch_shardings, repl),
+            out_shardings=(st, repl),
             donate_argnums=(0,) if donate else ())
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
