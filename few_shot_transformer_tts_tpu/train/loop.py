@@ -273,17 +273,23 @@ def train(args, hp: Config):
 
     base_rng = jax.random.PRNGKey(args.seed if hasattr(args, "seed") else 0)
 
-    logging.info("Start training run")
-    while args.max_steps is None or global_step < args.max_steps:
-        tic = time.time()
+    def fetch_device_batch():
         batch = feeder.get_batch()
         dbatch = mesh_lib.pad_batch_to_devices(device_batch(batch),
                                                mesh.shape["data"])
-        dbatch = mesh_lib.shard_batch(dbatch, mesh)
+        return batch, mesh_lib.shard_batch(dbatch, mesh)
+
+    logging.info("Start training run")
+    batch, dbatch = fetch_device_batch()
+    while args.max_steps is None or global_step < args.max_steps:
+        tic = time.time()
         rng = jax.random.fold_in(base_rng, global_step)
 
         try:
             state, losses = train_step(state, dbatch, rng)
+            # prefetch + upload the next batch while the device computes
+            # (dispatch is async; the H2D copy overlaps the step)
+            next_batch, next_dbatch = fetch_device_batch()
         except Exception:
             logging.error("Failed, input shape: %s, target shape: %s",
                           str(batch["inputs"].shape),
@@ -298,6 +304,8 @@ def train(args, hp: Config):
 
         global_step += 1
         feeder.global_step = global_step
+        prev_batch = batch
+        batch, dbatch = next_batch, next_dbatch
 
         # profiler hooks (SURVEY.md section 5: the reference has only
         # wall-clock windows; here a jax.profiler trace can be captured)
@@ -315,7 +323,7 @@ def train(args, hp: Config):
             dur = time.time() - tic
             time_window.append(dur)
             loss_window.append(float(losses["mse_loss"]))
-            frames = int(np.sum(np.asarray(batch["target_lengths"])))
+            frames = int(np.sum(np.asarray(prev_batch["target_lengths"])))
             audio_s = frames * hp.frame_shift_ms / 1000.0
             logging.info(
                 "[Step %d] %.3f sec/step (%.3f), lr=%.06f, loss=%.5f, "
@@ -325,7 +333,7 @@ def train(args, hp: Config):
                 loss_window.average, audio_s / max(dur, 1e-9))
 
             if hp.multi_lingual:
-                lvs = np.asarray(batch["input_language_vecs"])
+                lvs = np.asarray(prev_batch["input_language_vecs"])
                 lang_ids = [language_vec_to_id(lv) for lv in lvs]
                 langs = [id_to_lang[i] for i in lang_ids if i >= 0]
                 counts.update(langs, [1] * len(langs))
