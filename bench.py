@@ -48,7 +48,7 @@ def main():
     state = create_state(model, hp, jax.random.PRNGKey(0), device_batch(batch))
     train_step = make_train_step(model, hp, mesh=mesh, donate=True)
     dbatch = shard_batch(device_batch(batch), mesh)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl=hp.prng_impl)  # hardware RNG for dropout
 
     # compile + warmup
     tic = time.time()

@@ -76,11 +76,25 @@ class MultiheadAttention(nn.Module):
         depth = self.key_size // self.num_heads
         q = q * (depth ** -0.5)
 
-        use_kernel = (self.use_pallas and not need_align and deterministic
-                      and jax.default_backend() == "tpu")
-        if use_kernel:
+        on_tpu = jax.default_backend() == "tpu"
+        if self.use_pallas and not need_align and deterministic and on_tpu:
             from ..ops.pallas_attention import flash_attention
             ctx = flash_attention(q, k, v, bias)
+            align = None
+        elif self.use_pallas and not need_align and on_tpu:
+            # training path: fused softmax+dropout kernel with custom VJP —
+            # the quadratic weights/masks never reach HBM
+            from ..ops.pallas_attention_train import mha_train
+            causal = bias is not None and bias.ndim == 4 and \
+                bias.shape[0] == 1 and bias.shape[2] == bias.shape[3]
+            if causal or bias is None:
+                bias_vec = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+            else:
+                bias_vec = bias[:, 0, 0, :].astype(jnp.float32)
+            seed = jax.random.randint(self.make_rng("dropout"), (1, 1), 0,
+                                      jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            ctx = mha_train(q, k, v, bias_vec, seed,
+                            float(self.dropout_rate), bool(causal))
             align = None
         else:
             logits = jnp.einsum(

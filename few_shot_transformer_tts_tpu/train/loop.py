@@ -61,9 +61,12 @@ def create_state(model: ByteToMel, hp: Config, rng, sample_batch: Dict,
     default — compiling the init program for the accelerator is pure overhead
     (minutes on a tunneled chip); the first train step transfers the state."""
     tx = tx or make_optimizer(hp)
+    # init runs on CPU where the Pallas kernels can't lower; the param tree is
+    # identical either way
+    init_model = ByteToMel(hp.replace(use_pallas_attention=False))
 
     def _init():
-        return model.init(
+        return init_model.init(
             {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
             inputs=jnp.asarray(sample_batch["inputs"]),
             input_lengths=jnp.asarray(sample_batch["input_lengths"]),
@@ -271,7 +274,7 @@ def train(args, hp: Config):
         stop_requested["sig"] = signum
     signal.signal(signal.SIGTERM, _on_term)
 
-    base_rng = jax.random.PRNGKey(args.seed if hasattr(args, "seed") else 0)
+    base_rng = jax.random.key(getattr(args, "seed", 0), impl=hp.prng_impl)
 
     def fetch_device_batch():
         batch = feeder.get_batch()
