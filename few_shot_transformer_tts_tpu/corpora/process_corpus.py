@@ -359,6 +359,34 @@ def statistics(transformed=None, packed=None):
             fw.write("%s\t%d\t%.2f\t%d\n" % (lang, n, dur / 3600, n_spk))
 
 
+def collect_samples(transformed=None, out_dir=None, per_corpus: int = 5):
+    """Copy a few random samples per corpus for spot checks
+    (reference process_corpus.py:244-265)."""
+    import random as _random
+    transformed = transformed or default_transformed
+    out_dir = out_dir or os.path.join(os.path.dirname(transformed), "samples")
+    os.makedirs(out_dir, exist_ok=True)
+    samples = []
+    for corpus in sorted(glob.glob(os.path.join(transformed, "*"))):
+        if not os.path.isdir(corpus):
+            continue
+        meta = open(os.path.join(corpus, "metadata.csv"),
+                    encoding="utf-8").read().splitlines()
+        _random.seed(0)
+        _random.shuffle(meta)
+        for m in meta[:per_corpus]:
+            samples.append(m)
+            name = m.split("|")[0]
+            src = os.path.join(corpus, "proc_wavs", name + ".wav")
+            if not os.path.exists(src):
+                src = os.path.join(corpus, "wavs", name + ".wav")
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(out_dir, name + ".wav"))
+    samples.sort()
+    open(os.path.join(out_dir, "metadata.csv"), "w",
+         encoding="utf-8").write("\n".join(samples))
+
+
 def check_duplicate_rate(transformed=None):
     """Report (speaker, text) duplicates per corpus
     (reference process_corpus.py:268-290)."""

@@ -348,6 +348,7 @@ def train(args, hp: Config):
                                     global_step)
                 ckpt_lib.save_feeder_state(logdir, rank, feeder)
                 logging.info("Save checkpoint to %s", model_dir)
+                _mirror_logs(logdir, os.path.join(model_dir, "logs"))
 
             if global_step % args.summary_interval == 0 and writer:
                 for key in ["loss", "mse_loss", "l2", "stop_loss", "aft_loss"]:
@@ -373,6 +374,19 @@ def train(args, hp: Config):
             logging.info("Termination signal received; state saved, exiting.")
             break
     return state, global_step
+
+
+def _mirror_logs(logdir, dest):
+    """Mirror the log dir next to the checkpoints (reference train.py:213
+    uses ``rsync -avu``); best-effort."""
+    try:
+        import shutil
+        import subprocess
+        if shutil.which("rsync"):
+            subprocess.run(["rsync", "-au", logdir + "/", dest + "/"],
+                           check=False, capture_output=True, timeout=120)
+    except Exception:
+        pass
 
 
 def _inline_eval(model, state, hp, feeder_eval, logdir, global_step):
