@@ -70,31 +70,35 @@ class MultiheadAttention(nn.Module):
             combined = self.kv_transform(memories)
             k, v = jnp.split(combined, [self.key_size], axis=-1)
 
-        q = split_heads(q, self.num_heads)
-        k = split_heads(k, self.num_heads)
-        v = split_heads(v, self.num_heads)
         depth = self.key_size // self.num_heads
-        q = q * (depth ** -0.5)
-
         on_tpu = jax.default_backend() == "tpu"
-        if self.use_pallas and not need_align and deterministic and on_tpu:
-            from ..ops.pallas_attention import flash_attention
-            ctx = flash_attention(q, k, v, bias)
-            align = None
-        elif self.use_pallas and not need_align and on_tpu:
-            # training path: fused softmax+dropout kernel with custom VJP —
-            # the quadratic weights/masks never reach HBM
+
+        if self.use_pallas and not need_align and not deterministic and on_tpu:
+            # training path: fused softmax+dropout kernel with custom VJP in
+            # the packed [B, T, H*D] layout — neither the quadratic
+            # weights/masks nor any head transpose ever reaches HBM
             from ..ops.pallas_attention_train import mha_train
             causal = bias is not None and bias.ndim == 4 and \
                 bias.shape[0] == 1 and bias.shape[2] == bias.shape[3]
             if causal or bias is None:
-                bias_vec = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+                bias_vec = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
             else:
                 bias_vec = bias[:, 0, 0, :].astype(jnp.float32)
             seed = jax.random.randint(self.make_rng("dropout"), (1, 1), 0,
                                       jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-            ctx = mha_train(q, k, v, bias_vec, seed,
-                            float(self.dropout_rate), bool(causal))
+            x = mha_train(q, k, v, bias_vec, seed, self.num_heads,
+                          float(self.dropout_rate), bool(causal),
+                          scale=depth ** -0.5)
+            return self.output_transform(x), None
+
+        q = split_heads(q, self.num_heads)
+        k = split_heads(k, self.num_heads)
+        v = split_heads(v, self.num_heads)
+        q = q * (depth ** -0.5)
+
+        if self.use_pallas and not need_align and deterministic and on_tpu:
+            from ..ops.pallas_attention import flash_attention
+            ctx = flash_attention(q, k, v, bias)
             align = None
         else:
             logits = jnp.einsum(

@@ -4,24 +4,27 @@ flash-style backward (Pallas/Mosaic TPU).
 Motivation (measured, one TPU v5 lite chip, flagship config): generating the
 attention/hidden dropout masks with the default threefry PRNG cost 57 ms of an
 87 ms train step; the rbg PRNG cut that to 40 ms, and the remaining overhead
-is dominated by materializing [B, H, Tq, Tk] softmax/dropout tensors in HBM
-across 18 attention blocks.  This kernel keeps logits, softmax, and the
-dropout mask in VMEM and regenerates the mask in the backward pass from the
-same per-block seed (pltpu.prng_*), so nothing quadratic ever reaches HBM.
+was dominated by (a) materializing [B, H, Tq, Tk] softmax/dropout tensors in
+HBM across 18 attention blocks and (b) the split/combine-head transposes
+(5.2 ms/step of pure data movement in the device profile).  This kernel keeps
+logits, softmax, and the dropout mask in VMEM, regenerates the mask in the
+backward pass from the same per-block seed (pltpu.prng_*), and reads Q/K/V in
+the packed [B, T, H*D] projection layout — the per-head slice is selected by
+the BlockSpec index map, so no head transpose is ever materialized.
 
-Semantics match the reference path exactly: softmax over biased logits, then
-dropout on the normalized weights (reference transformer/attention.py:83-91),
-then the value matmul.
+Semantics match the reference path exactly: q scaled by d_head**-0.5 (applied
+in-kernel), softmax over biased logits, then dropout on the normalized weights
+(reference transformer/attention.py:83-91), then the value matmul.
 
 Forward  (per (b, h, q-tile), whole-K in VMEM as in pallas_attention.py):
-    s = q @ k^T + bias;  p = softmax(s);  lse saved for backward
+    s = (q*scale) @ k^T + bias;  p = softmax(s);  lse saved for backward
     g = mask(p) / keep;  o = g @ v
 Backward (same grid; dk/dv accumulate across q-tiles):
     p  = exp(s - lse)          (recomputed)
     dv += g^T @ do
     dw = mask(do @ v^T) / keep
     ds = p * (dw - rowsum(dw * p))
-    dq = ds @ k;  dk += ds^T @ q
+    dq = (ds @ k) * scale;  dk += (ds*scale)^T @ q
 """
 
 from __future__ import annotations
@@ -50,204 +53,251 @@ def _mask_from_bits(shape, rate: float):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
-                causal: bool, rate: float, tq: int):
+                causal: bool, rate: float, tq: int, scale: float,
+                num_heads: int):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    iq = pl.program_id(2)
-    q = q_ref[0, 0]                               # [TQ, D]
-    k = k_ref[0, 0]                               # [TKall, D]
-    v = v_ref[0, 0]
-    tk_all = k.shape[0]
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s + bias_ref[0, 0][None, :]
+    iq = pl.program_id(1)
+    q_all = q_ref[0]                              # [TQ, C]
+    k_all = k_ref[0]                              # [TKall, C]
+    v_all = v_ref[0]
+    tk_all = k_all.shape[0]
+    d = q_all.shape[1] // num_heads
+    bias_row = bias_ref[0, 0][None, :]
     if causal:
         rows = iq * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk_all), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tk_all), 1)
-        s = jnp.where(cols <= rows, s, NEG_INF)
+        cmask = cols <= rows
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)                            # [TQ, TKall] f32
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    lse_ref[0, 0, 0, :] = (m + jnp.log(l))[:, 0]
-
-    if rate > 0.0:
-        pltpu.prng_seed(_block_seed(seed_ref, b, h, iq))
-        keep = _mask_from_bits(p.shape, rate)
-        p = jnp.where(keep, p, 0.0) / (1.0 - rate)
-
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[0, 0, :, :] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    outs = []
+    for h in range(num_heads):                    # static unroll over heads
+        q = q_all[:, h * d:(h + 1) * d]
+        if scale != 1.0:
+            q = (q.astype(jnp.float32) * scale).astype(q_all.dtype)
+        k = k_all[:, h * d:(h + 1) * d]
+        v = v_all[:, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_row
+        if causal:
+            s = jnp.where(cmask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)                        # [TQ, TKall] f32
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        lse_ref[0, h, :] = (m + jnp.log(l))[:, 0]
+        if rate > 0.0:
+            pltpu.prng_seed(_block_seed(seed_ref, b, h, iq))
+            keep = _mask_from_bits(p.shape, rate)
+            p = jnp.where(keep, p, 0.0) / (1.0 - rate)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        outs.append((o / jnp.maximum(l, 1e-30)))
+    o_ref[0, :, :] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, causal: bool, rate: float,
-                tq: int):
+                tq: int, scale: float, num_heads: int):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    iq = pl.program_id(2)
+    iq = pl.program_id(1)
 
     @pl.when(iq == 0)
     def _init():
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    tk_all = k.shape[0]
-    do = do_ref[0, 0].astype(jnp.float32)         # [TQ, D]
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s + bias_ref[0, 0][None, :]
+    q_all = q_ref[0]
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    do_all = do_ref[0]
+    tk_all = k_all.shape[0]
+    d = q_all.shape[1] // num_heads
+    bias_row = bias_ref[0, 0][None, :]
     if causal:
         rows = iq * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk_all), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tk_all), 1)
-        s = jnp.where(cols <= rows, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, 0, 0, :][:, None])  # softmax, recomputed
+        cmask = cols <= rows
 
-    if rate > 0.0:
-        pltpu.prng_seed(_block_seed(seed_ref, b, h, iq))
-        keep = _mask_from_bits(p.shape, rate)
-        g = jnp.where(keep, p, 0.0) / (1.0 - rate)
-    else:
-        g = p
+    dqs = []
+    dks = []
+    dvs = []
+    for h in range(num_heads):                    # static unroll over heads
+        q_raw = q_all[:, h * d:(h + 1) * d]
+        if scale != 1.0:
+            q = (q_raw.astype(jnp.float32) * scale).astype(q_raw.dtype)
+        else:
+            q = q_raw
+        k = k_all[:, h * d:(h + 1) * d]
+        v = v_all[:, h * d:(h + 1) * d]
+        do = do_all[:, h * d:(h + 1) * d].astype(jnp.float32)
 
-    # dv += g^T do
-    dv = jax.lax.dot_general(g.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dv_ref[0, 0, :, :] += dv.astype(dv_ref.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_row
+        if causal:
+            s = jnp.where(cmask, s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0, h, :][:, None])  # softmax, recomputed
 
-    # dg = do v^T ; dw = mask(dg)/keep ; ds = p (dw - rowsum(dw p))
-    dg = jax.lax.dot_general(do, v.astype(jnp.float32),
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    if rate > 0.0:
-        dw = jnp.where(keep, dg, 0.0) / (1.0 - rate)
-    else:
-        dw = dg
-    row = jnp.sum(dw * p, axis=-1, keepdims=True)
-    ds = (p * (dw - row)).astype(q.dtype)          # [TQ, TKall]
+        if rate > 0.0:
+            pltpu.prng_seed(_block_seed(seed_ref, b, h, iq))
+            keep = _mask_from_bits(p.shape, rate)
+            g = jnp.where(keep, p, 0.0) / (1.0 - rate)
+        else:
+            g = p
 
-    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dk_ref[0, 0, :, :] += dk.astype(dk_ref.dtype)
+        dv = jax.lax.dot_general(g.astype(do.dtype), do,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dvs.append(dv)
+
+        dg = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            dw = jnp.where(keep, dg, 0.0) / (1.0 - rate)
+        else:
+            dw = dg
+        row = jnp.sum(dw * p, axis=-1, keepdims=True)
+        ds = p * (dw - row)                        # [TQ, TKall] f32
+
+        dq = jax.lax.dot_general(ds.astype(q.dtype), k,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq)
+        dk = jax.lax.dot_general((ds * scale).astype(q.dtype), q_raw,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dks.append(dk)
+    dq_ref[0, :, :] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk_ref[0, :, :] += jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0, :, :] += jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
 
 
 def _rup(x, m):
     return (x + m - 1) // m * m
 
 
-def _pad_qkvb(q, k, v, bias, block_q):
-    b, h, tq_len, d = q.shape
-    tk_len = k.shape[2]
-    tq_pad = _rup(tq_len, block_q)
-    tk_pad = _rup(tk_len, 128)
-    if tq_pad != tq_len:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, tq_pad - tq_len), (0, 0)))
-    if tk_pad != tk_len:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, tk_pad - tk_len), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, tk_pad - tk_len), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, tk_pad - tk_len)),
-                       constant_values=_PAD_NEG)
-    return q, k, v, bias, tq_pad, tk_pad
+def _pad_time(x, t_pad):
+    if x.shape[1] == t_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def mha_train(q, k, v, bias, seed, rate: float, causal: bool,
-              interpret: bool = False, block_q: int = 128):
-    """Fused attention with post-softmax dropout.
+def _specs(c, block_q, tk_pad):
+    return [
+        pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
+        pl.BlockSpec((1, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
+        pl.BlockSpec((1, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
+        pl.BlockSpec((1, 1, tk_pad), lambda ib, iq, *_: (ib, 0, 0)),
+    ]
 
-    q [B,H,Tq,D] pre-scaled; k/v [B,H,Tk,D]; bias [B,Tk] additive (use zeros
-    for none); seed [1,1] int32.  Differentiable in q/k/v.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def mha_train(q, k, v, bias, seed, num_heads: int, rate: float, causal: bool,
+              scale: float = 1.0, interpret: bool = False, block_q: int = 128):
+    """Fused multi-head attention with post-softmax dropout, packed layout.
+
+    q [B,Tq,H*D]; k/v [B,Tk,H*D]; bias [B,Tk] additive (zeros for none);
+    seed [1,1] int32; scale multiplies q in-kernel (pass d_head**-0.5).
+    Returns [B,Tq,H*D] with heads already re-packed.  Differentiable in q/k/v.
     """
-    o, _ = _fwd(q, k, v, bias, seed, rate, causal, interpret, block_q)
+    o, _ = _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale,
+                interpret, block_q)
     return o
 
 
-def _fwd(q, k, v, bias, seed, rate, causal, interpret, block_q):
-    b, h, tq_len, d = q.shape
-    tk_len = k.shape[2]
-    qp, kp, vp, biasp, tq_pad, tk_pad = _pad_qkvb(q, k, v, bias, block_q)
+def _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
+         block_q):
+    b, tq_len, c = q.shape
+    tk_len = k.shape[1]
+    d = c // num_heads
+    tq_pad = _rup(tq_len, block_q)
+    tk_pad = _rup(tk_len, 128)
+    qp = _pad_time(q, tq_pad)
+    kp = _pad_time(k, tk_pad)
+    vp = _pad_time(v, tk_pad)
+    biasp = bias
+    if tk_pad != tk_len:
+        biasp = jnp.pad(bias, ((0, 0), (0, tk_pad - tk_len)),
+                        constant_values=_PAD_NEG)
     nq = tq_pad // block_q
     kernel = functools.partial(_fwd_kernel, causal=causal, rate=float(rate),
-                               tq=block_q)
+                               tq=block_q, scale=float(scale),
+                               num_heads=num_heads)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h, nq),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq, *_: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, tk_pad, d), lambda ib, ih, iq, *_: (ib, ih, 0, 0)),
-            pl.BlockSpec((1, 1, tk_pad, d), lambda ib, ih, iq, *_: (ib, ih, 0, 0)),
-            pl.BlockSpec((1, 1, tk_pad), lambda ib, ih, iq, *_: (ib, 0, 0)),
-        ],
+        grid=(b, nq),
+        in_specs=_specs(c, block_q, tk_pad),
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq, *_: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda ib, ih, iq, *_: (ib, ih, 0, iq)),
+            pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
+            pl.BlockSpec((1, num_heads, block_q),
+                         lambda ib, iq, *_: (ib, 0, iq)),
         ],
     )
     o, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, tq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, 1, tq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, tq_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, tq_pad), jnp.float32),
         ],
         interpret=interpret,
     )(seed, qp, kp, vp, biasp[:, None, :])
-    return o[:, :, :tq_len, :], (q, k, v, bias, seed, lse)
+    return o[:, :tq_len, :], (q, k, v, bias, seed, lse)
 
 
-def _fwd_rule(q, k, v, bias, seed, rate, causal, interpret, block_q):
-    return _fwd(q, k, v, bias, seed, rate, causal, interpret, block_q)
+def _fwd_rule(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
+              block_q):
+    return _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale,
+                interpret, block_q)
 
 
-def _bwd_rule(rate, causal, interpret, block_q, res, do):
+def _bwd_rule(num_heads, rate, causal, scale, interpret, block_q, res, do):
     q, k, v, bias, seed, lse = res
-    b, h, tq_len, d = q.shape
-    tk_len = k.shape[2]
-    qp, kp, vp, biasp, tq_pad, tk_pad = _pad_qkvb(q, k, v, bias, block_q)
-    if tq_pad != tq_len:
-        do = jnp.pad(do, ((0, 0), (0, 0), (0, tq_pad - tq_len), (0, 0)))
+    b, tq_len, c = q.shape
+    tk_len = k.shape[1]
+    d = c // num_heads
+    tq_pad = _rup(tq_len, block_q)
+    tk_pad = _rup(tk_len, 128)
+    qp = _pad_time(q, tq_pad)
+    kp = _pad_time(k, tk_pad)
+    vp = _pad_time(v, tk_pad)
+    dop = _pad_time(do, tq_pad)
+    biasp = bias
+    if tk_pad != tk_len:
+        biasp = jnp.pad(bias, ((0, 0), (0, tk_pad - tk_len)),
+                        constant_values=_PAD_NEG)
     nq = tq_pad // block_q
     kernel = functools.partial(_bwd_kernel, causal=causal, rate=float(rate),
-                               tq=block_q)
+                               tq=block_q, scale=float(scale),
+                               num_heads=num_heads)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h, nq),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq, *_: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, tk_pad, d), lambda ib, ih, iq, *_: (ib, ih, 0, 0)),
-            pl.BlockSpec((1, 1, tk_pad, d), lambda ib, ih, iq, *_: (ib, ih, 0, 0)),
-            pl.BlockSpec((1, 1, tk_pad), lambda ib, ih, iq, *_: (ib, 0, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda ib, ih, iq, *_: (ib, ih, 0, iq)),
-            pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq, *_: (ib, ih, iq, 0)),
+        grid=(b, nq),
+        in_specs=_specs(c, block_q, tk_pad) + [
+            pl.BlockSpec((1, num_heads, block_q),
+                         lambda ib, iq, *_: (ib, 0, iq)),
+            pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq, *_: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, tk_pad, d), lambda ib, ih, iq, *_: (ib, ih, 0, 0)),
-            pl.BlockSpec((1, 1, tk_pad, d), lambda ib, ih, iq, *_: (ib, ih, 0, 0)),
+            pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
+            pl.BlockSpec((1, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
+            pl.BlockSpec((1, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
         ],
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, tq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, tk_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, tk_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((b, tq_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, tk_pad, c), k.dtype),
+            jax.ShapeDtypeStruct((b, tk_pad, c), v.dtype),
         ],
         interpret=interpret,
-    )(seed, qp, kp, vp, biasp[:, None, :], lse, do)
-    dq = dq[:, :, :tq_len, :]
-    dk = dk[:, :, :tk_len, :]
-    dv = dv[:, :, :tk_len, :]
+    )(seed, qp, kp, vp, biasp[:, None, :], lse, dop)
+    dq = dq[:, :tq_len, :]
+    dk = dk[:, :tk_len, :]
+    dv = dv[:, :tk_len, :]
     dbias = jnp.zeros_like(bias)
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
     return dq, dk, dv, dbias, dseed

@@ -10,20 +10,31 @@ import pytest
 from few_shot_transformer_tts_tpu.ops.pallas_attention_train import mha_train
 
 
-def ref_attention(q, k, v, bias):
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+H, D = 3, 64
+
+
+def split(x):
+    b, t, c = x.shape
+    return x.reshape(b, t, H, D).transpose(0, 2, 1, 3)
+
+
+def ref_attention(q, k, v, bias, scale=1.0):
+    qh, kh, vh = split(q) * scale, split(k), split(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
     logits = logits + bias[:, None, None, :]
     w = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+    b, h, t, d = o.shape
+    return o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
 @pytest.fixture(scope="module")
 def qkv():
     rng = np.random.RandomState(0)
-    B, H, TQ, TK, D = 2, 3, 50, 70, 64
-    q = jnp.asarray(rng.randn(B, H, TQ, D), jnp.float32) * 0.3
-    k = jnp.asarray(rng.randn(B, H, TK, D), jnp.float32) * 0.3
-    v = jnp.asarray(rng.randn(B, H, TK, D), jnp.float32)
+    B, TQ, TK = 2, 50, 70
+    q = jnp.asarray(rng.randn(B, TQ, H * D), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(B, TK, H * D), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(B, TK, H * D), jnp.float32)
     lengths = jnp.asarray([70, 40])
     bias = jnp.where(jnp.arange(TK)[None, :] < lengths[:, None], 0.0, -1e20)
     seed = jnp.zeros((1, 1), jnp.int32)
@@ -32,7 +43,7 @@ def qkv():
 
 def test_forward_parity_rate0(qkv):
     q, k, v, bias, seed = qkv
-    out = mha_train(q, k, v, bias, seed, 0.0, False, True)
+    out = mha_train(q, k, v, bias, seed, H, 0.0, False, 1.0, True)
     ref = ref_attention(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
@@ -41,7 +52,7 @@ def test_grads_match_autodiff_rate0(qkv):
     q, k, v, bias, seed = qkv
 
     def loss_kernel(q, k, v):
-        return (mha_train(q, k, v, bias, seed, 0.0, False, True) ** 2).sum()
+        return (mha_train(q, k, v, bias, seed, H, 0.0, False, 1.0, True) ** 2).sum()
 
     def loss_ref(q, k, v):
         return (ref_attention(q, k, v, bias) ** 2).sum()
@@ -55,20 +66,22 @@ def test_grads_match_autodiff_rate0(qkv):
 
 def test_causal_grads_match_autodiff(qkv):
     q, k, v, _, seed = qkv
-    q = q[:, :, :40]
-    k = k[:, :, :40]
-    v = v[:, :, :40]
+    q = q[:, :40]
+    k = k[:, :40]
+    v = v[:, :40]
     zero_bias = jnp.zeros((2, 40), jnp.float32)
     causal = jnp.where(jnp.arange(40)[None, :] <= jnp.arange(40)[:, None],
                        0.0, -1e20)
 
     def loss_kernel(q, k, v):
-        return (mha_train(q, k, v, zero_bias, seed, 0.0, True, True) ** 2).sum()
+        return (mha_train(q, k, v, zero_bias, seed, H, 0.0, True, 0.125, True) ** 2).sum()
 
     def loss_ref(q, k, v):
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) + causal[None, None]
+        qh, kh, vh = split(q) * 0.125, split(k), split(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) + causal[None, None]
         w = jax.nn.softmax(logits, axis=-1)
-        return (jnp.einsum("bhqk,bhkd->bhqd", w, v) ** 2).sum()
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        return (o ** 2).sum()
 
     g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
@@ -79,8 +92,8 @@ def test_causal_grads_match_autodiff(qkv):
 
 def test_jit_and_seed_plumbing(qkv):
     q, k, v, bias, seed = qkv
-    f = jax.jit(lambda q, k, v, s: mha_train(q, k, v, bias, s, 0.0, False,
-                                             True))
+    f = jax.jit(lambda q, k, v, s: mha_train(q, k, v, bias, s, H, 0.0, False,
+                                             1.0, True))
     o1 = f(q, k, v, seed)
     o2 = f(q, k, v, jnp.asarray([[42]], jnp.int32))
     # rate=0: seed must not matter
