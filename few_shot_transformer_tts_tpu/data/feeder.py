@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import logging
 import queue
+import sys
 import threading
 import time
 import traceback
@@ -40,6 +41,9 @@ from .zipstore import load_zip
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+_FEEDER_ERROR = object()  # queue sentinel: producer thread died
 
 
 class Feeder(threading.Thread):
@@ -151,9 +155,16 @@ class Feeder(threading.Thread):
                 self._enqueue_next_group()
         except Exception:
             logging.error(traceback.format_exc())
+            # propagate to the consumer instead of stalling get_batch forever
+            # (the reference's producer dies silently — dataloader.py:106-111)
+            self._error = sys.exc_info()[1]
+            self.queue.put(_FEEDER_ERROR)
 
     def get_batch(self):
-        return self.queue.get()
+        batch = self.queue.get()
+        if batch is _FEEDER_ERROR:
+            raise RuntimeError("Feeder thread failed: %r" % self._error)
+        return batch
 
     # ---------------- resumable state (reference dataloader.py:113-138) -----
 

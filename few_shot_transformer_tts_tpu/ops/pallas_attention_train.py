@@ -9,14 +9,15 @@ HBM across 18 attention blocks and (b) the split/combine-head transposes
 (5.2 ms/step of pure data movement in the device profile).  This kernel keeps
 logits, softmax, and the dropout mask in VMEM, regenerates the mask in the
 backward pass from the same per-block seed (pltpu.prng_*), and reads Q/K/V in
-the packed [B, T, H*D] projection layout — the per-head slice is selected by
-the BlockSpec index map, so no head transpose is ever materialized.
+the packed [B, T, H*D] projection layout with a static unroll over heads
+inside the kernel (full-width blocks satisfy the TPU lane-tiling rule; head
+slices live in registers), so no head transpose is ever materialized.
 
 Semantics match the reference path exactly: q scaled by d_head**-0.5 (applied
 in-kernel), softmax over biased logits, then dropout on the normalized weights
 (reference transformer/attention.py:83-91), then the value matmul.
 
-Forward  (per (b, h, q-tile), whole-K in VMEM as in pallas_attention.py):
+Forward  (per (b, q-tile), whole-K in VMEM, looping heads statically):
     s = (q*scale) @ k^T + bias;  p = softmax(s);  lse saved for backward
     g = mask(p) / keep;  o = g @ v
 Backward (same grid; dk/dv accumulate across q-tiles):

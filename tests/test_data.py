@@ -271,3 +271,13 @@ def test_feeder_eval_no_zip_synthesis_only(dataset):
     b = data[0]
     assert "mel_targets" not in b
     assert "inputs" in b and "input_spk_ids" in b
+
+
+def test_feeder_thread_error_propagates(dataset):
+    """A dying producer thread must surface in get_batch, not stall it."""
+    f = make_feeder(dataset)
+    f.global_step = 10 ** 6
+    f._enqueue_next_group = lambda: (_ for _ in ()).throw(ValueError("boom"))
+    f.start()
+    with pytest.raises(RuntimeError, match="Feeder thread failed"):
+        f.get_batch()
