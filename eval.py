@@ -24,6 +24,9 @@ def build_parser():
     parser.add_argument('--eval_steps', type=str, default=None)
     parser.add_argument('--eval_interval', type=int, default=10000)
     parser.add_argument('--scan_interval', type=int, default=600)
+    parser.add_argument('--tpu_vocoder', action='store_true',
+                        help='run batched Griffin-Lim on the accelerator '
+                             'instead of per-sample CPU vocoding')
     parser.add_argument('--hparams', default='')
     return parser
 

@@ -1,1 +1,1 @@
-from .synthesize import synthesize_batch, save_eval_results  # noqa: F401
+from .synthesize import synthesize_batch, save_eval_results, vocode_batch  # noqa: F401

@@ -188,6 +188,10 @@ def main(args, hp: Config):
             evaltime += time.time() - eval_tic
             results["mel_pre"] = None
             results["alignments"]["self"] = None
+            if getattr(args, "tpu_vocoder", False):
+                from .synthesize import vocode_batch
+                results["wavs"] = vocode_batch(
+                    results["mel_aft"], results["generated_lengths"], hp)
             fn = partial(save_eval_results, **results, output_dir=eval_path,
                          hp=hp, save_trimmed_wave=True)
             logging.info("[Batch %d] Submit thread: %s", i, str(batch["names"]))

@@ -189,12 +189,26 @@ def synthesize_batch(model: ByteToMel, variables, batch: Dict[str, Any],
             "generated_lengths": list(target_lengths)}
 
 
+def vocode_batch(mel_aft, generated_lengths, hp: Config):
+    """Batched Griffin-Lim on the accelerator (ops/dsp_jax.mel2wav): one fused
+    60-iteration STFT round-trip program for the whole batch, instead of the
+    reference's per-sample CPU librosa loop (reference synthesize.py:82).
+    Returns a list of per-sample waveforms trimmed to their frame counts."""
+    import jax.numpy as jnp
+    from ..ops import dsp_jax
+    wavs = np.asarray(dsp_jax.mel2wav(jnp.asarray(np.asarray(mel_aft)), hp))
+    return [wavs[i][:max(0, (int(l) - 1)) * hp.hop_length]
+            for i, l in enumerate(generated_lengths)]
+
+
 def save_eval_results(names, mel_pre, mel_aft, alignments, input_lengths,
                       generated_lengths, output_dir, hp: Config,
                       save_trimmed_wave: bool = False,
-                      n_plot_alignment: Optional[int] = None):
+                      n_plot_alignment: Optional[int] = None,
+                      wavs=None):
     """Save per-sample mel npy, Griffin-Lim wav, plots (reference
-    synthesize.py:75-106); 4-thread pool as in the reference."""
+    synthesize.py:75-106); 4-thread pool as in the reference.  Pass ``wavs``
+    (from vocode_batch) to skip the per-sample CPU Griffin-Lim."""
     from ..ops import dsp
     from ..utils import infolog
 
@@ -203,7 +217,9 @@ def save_eval_results(names, mel_pre, mel_aft, alignments, input_lengths,
             name = names[i]
             mel = mel_aft[i][:generated_lengths[i]]
             np.save(os.path.join(output_dir, "%s.npy" % name), mel)
-            wav = dsp.mel2wav(mel, hp)
+            wav = wavs[i] if wavs is not None else dsp.mel2wav(mel, hp)
+            if len(wav) == 0:
+                wav = np.zeros(hp.hop_length, np.float32)
             dsp.save_wav(wav, os.path.join(output_dir, "%s.wav" % name), hp.sr)
             if save_trimmed_wave:
                 wav_trim = dsp.trim_silence_intervals(wav, hp)

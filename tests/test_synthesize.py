@@ -143,3 +143,26 @@ def test_save_eval_results(tmp_path, model_and_vars):
     files = os.listdir(tmp_path)
     for n in ["s0.npy", "s0.wav", "s0_trim.wav", "s1.npy", "s1.wav"]:
         assert n in files, files
+
+
+def test_vocode_batch_matches_numpy_path(model_and_vars):
+    """Batched on-device Griffin-Lim produces waveforms comparable to the
+    per-sample numpy path (same algorithm; float/order differences only)."""
+    from few_shot_transformer_tts_tpu.infer import vocode_batch
+    from few_shot_transformer_tts_tpu.ops import dsp
+    hp = HP.replace(n_iter=2)
+    rng = np.random.RandomState(0)
+    T = 30
+    mel = np.clip(rng.randn(2, T, hp.num_mels) * 1.5, -4, 4).astype(np.float32)
+    lengths = [T, 18]
+    wavs = vocode_batch(mel, lengths, hp)
+    assert len(wavs[0]) == (T - 1) * hp.hop_length
+    assert len(wavs[1]) == 17 * hp.hop_length
+    ref = dsp.mel2wav(mel[0], hp)
+    n = min(len(ref), len(wavs[0]))
+    # Griffin-Lim phase estimates drift between implementations; compare
+    # envelopes rather than samples
+    e1 = np.sqrt(np.convolve(wavs[0][:n] ** 2, np.ones(400) / 400, "valid"))
+    e2 = np.sqrt(np.convolve(ref[:n] ** 2, np.ones(400) / 400, "valid"))
+    corr = np.corrcoef(e1, e2)[0, 1]
+    assert corr > 0.9, corr
