@@ -73,10 +73,12 @@ class MultiheadAttention(nn.Module):
         depth = self.key_size // self.num_heads
         on_tpu = jax.default_backend() == "tpu"
 
-        if self.use_pallas and not need_align and not deterministic and on_tpu:
-            # training path: fused softmax+dropout kernel with custom VJP in
-            # the packed [B, T, H*D] layout — neither the quadratic
-            # weights/masks nor any head transpose ever reaches HBM
+        if self.use_pallas and not need_align and on_tpu and \
+                k.shape[1] <= 2048:
+            # fused kernel in the packed [B, T, H*D] layout — neither the
+            # quadratic weights/masks nor any head transpose ever reaches
+            # HBM.  Training gets in-kernel dropout + the custom flash
+            # backward; eval runs the same kernel with rate=0.
             from ..ops.pallas_attention_train import mha_train
             causal = bias is not None and bias.ndim == 4 and \
                 bias.shape[0] == 1 and bias.shape[2] == bias.shape[3]
@@ -84,11 +86,16 @@ class MultiheadAttention(nn.Module):
                 bias_vec = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
             else:
                 bias_vec = bias[:, 0, 0, :].astype(jnp.float32)
-            seed = jax.random.randint(self.make_rng("dropout"), (1, 1), 0,
-                                      jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-            x = mha_train(q, k, v, bias_vec, seed, self.num_heads,
-                          float(self.dropout_rate), bool(causal),
-                          scale=depth ** -0.5)
+            if deterministic or self.dropout_rate == 0.0:
+                rate = 0.0
+                seed = jnp.zeros((1, 1), jnp.int32)
+            else:
+                rate = float(self.dropout_rate)
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1, 1), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            x = mha_train(q, k, v, bias_vec, seed, self.num_heads, rate,
+                          bool(causal), scale=depth ** -0.5)
             return self.output_transform(x), None
 
         q = split_heads(q, self.num_heads)
@@ -97,6 +104,7 @@ class MultiheadAttention(nn.Module):
         q = q * (depth ** -0.5)
 
         if self.use_pallas and not need_align and deterministic and on_tpu:
+            # long-sequence fallback: blocked online-softmax kernel
             from ..ops.pallas_attention import flash_attention
             ctx = flash_attention(q, k, v, bias)
             align = None
