@@ -18,6 +18,7 @@ TPU-first additions the reference does not have:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -72,8 +73,12 @@ class MultiheadAttention(nn.Module):
 
         depth = self.key_size // self.num_heads
         on_tpu = jax.default_backend() == "tpu"
+        # FSTTS_PALLAS_INTERPRET=1 exercises the kernel branch on CPU via the
+        # Pallas interpreter (used by the test suite)
+        interpret = (not on_tpu) and \
+            os.environ.get("FSTTS_PALLAS_INTERPRET") == "1"
 
-        if self.use_pallas and not need_align and on_tpu and \
+        if self.use_pallas and not need_align and (on_tpu or interpret) and \
                 k.shape[1] <= 2048:
             # fused kernel in the packed [B, T, H*D] layout — neither the
             # quadratic weights/masks nor any head transpose ever reaches
@@ -95,7 +100,8 @@ class MultiheadAttention(nn.Module):
                     self.make_rng("dropout"), (1, 1), 0,
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
             x = mha_train(q, k, v, bias_vec, seed, self.num_heads, rate,
-                          bool(causal), scale=depth ** -0.5)
+                          bool(causal), scale=depth ** -0.5,
+                          interpret=interpret)
             return self.output_transform(x), None
 
         q = split_heads(q, self.num_heads)

@@ -236,3 +236,22 @@ def test_leave_one_zeroes_last_prenet_frame(model_and_vars):
     # leave_one only affects the last target position's prenet output, which is
     # dropped by the decoder's shift-right — so teacher-forced outputs match.
     np.testing.assert_allclose(np.asarray(mel_a), np.asarray(mel_b), atol=1e-5)
+
+
+def test_pallas_branch_matches_jnp_branch(model_and_vars):
+    """The fused-kernel attention branch (forced via interpret mode) must
+    reproduce the jnp path's teacher-forced outputs."""
+    import os
+    m, variables = model_and_vars
+    batch = make_batch()
+    ref = m.apply(variables, **batch, train=False)
+    hp_k = HP.replace(use_pallas_attention=True)
+    os.environ["FSTTS_PALLAS_INTERPRET"] = "1"
+    try:
+        out = ByteToMel(hp_k).apply(variables, **batch, train=False)
+    finally:
+        del os.environ["FSTTS_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(np.asarray(out["mel_bef"]),
+                               np.asarray(ref["mel_bef"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["stop_logits"]),
+                               np.asarray(ref["stop_logits"]), atol=2e-4)

@@ -246,3 +246,20 @@ def test_tensor_parallel_matches_replicated():
     assert float(l1["loss"]) == pytest.approx(float(l2["loss"]), rel=1e-4)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_training_determinism():
+    """Same seed -> identical loss sequence across fresh runs."""
+    model = ByteToMel(HP)
+    batch = make_batch()
+
+    def run():
+        state = create_state(model, HP, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model, HP, donate=False)
+        out = []
+        for i in range(3):
+            state, losses = step(state, batch, jax.random.PRNGKey(100 + i))
+            out.append(float(losses["loss"]))
+        return out
+
+    assert run() == run()
