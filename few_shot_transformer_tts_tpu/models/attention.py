@@ -12,8 +12,11 @@ TPU-first additions the reference does not have:
     caches, turning the reference's O(T^3) full-prefix re-forward
     (reference synthesize.py:35-54) into O(T^2) decode;
   * bf16 matmuls with fp32 softmax/accumulation (MXU-friendly);
-  * an optional Pallas flash-attention kernel for the full-sequence path
-    (ops/pallas_attention.py) used when no alignment tensor is requested.
+  * fused Pallas attention kernels for the full-sequence path when no
+    alignment tensor is requested: ops/pallas_attention_train.py (packed
+    layout, in-kernel dropout, custom flash backward; also serves eval with
+    rate=0) and ops/pallas_attention.py (blocked online-softmax fallback for
+    >2048 keys).
 """
 
 from __future__ import annotations

@@ -263,3 +263,70 @@ def test_training_determinism():
         return out
 
     assert run() == run()
+
+
+def test_few_shot_adaptation_flow(tmp_path):
+    """The paper's tier protocol (reference README.md:157-198): train a base,
+    then resume with --adapt_languages/--downsample_languages; the checkpoint
+    carries the global step and the feeder mixes adaptation samples."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from few_shot_transformer_tts_tpu.train.loop import train
+
+    root = str(tmp_path)
+    rng = np.random.RandomState(0)
+    rows = []
+    spk_to_id, lang_to_id = {}, {}
+    with zipfile.ZipFile(os.path.join(root, "mels.zip"), "w") as zf:
+        for lang in ["en-us", "nb-no"]:
+            lang_to_id.setdefault(lang, len(lang_to_id))
+            spk = lang[:2] + "0"
+            spk_to_id.setdefault(spk, len(spk_to_id))
+            for i in range(10):
+                name = "%s_%010d" % (spk, i)
+                t = int(rng.randint(8, 20))
+                mel = rng.randn(t, HP.num_mels).astype(np.float32)
+                buf = io.BytesIO()
+                np.save(buf, mel)
+                zf.writestr(name + ".npy", buf.getvalue())
+                rows.append("%s.npy|%d|hello %d|%s" % (name, t, i, lang))
+    open(os.path.join(root, "metadata.train.txt"), "w").write("\n".join(rows))
+    open(os.path.join(root, "metadata.eval.txt"), "w").write(rows[0])
+    json.dump(lang_to_id, open(os.path.join(root, "lang_id.json"), "w"))
+    json.dump(spk_to_id, open(os.path.join(root, "spk_id.json"), "w"))
+
+    class Base:
+        model_dir = os.path.join(root, "models")
+        log_dir = os.path.join(root, "logs")
+        data_dir = root
+        zipfilepath = train_meta = eval_meta = None
+        adapt_languages = adapt_speakers = None
+        training_languages = "en-us"
+        training_speakers = eval_languages = eval_speakers = None
+        warmup_languages = warmup_speakers = exclude_speakers = None
+        adapt_samples = downsample_languages = None
+        eval_steps = "-1"
+        checkpoint_interval = 2
+        summary_interval = 100
+        restore_from = None
+        multihost = False
+        max_steps = 2
+        seed = 0
+
+    hp = HP.replace(bucket_size=8, data_warmup_steps=0)
+    train(Base(), hp)
+    assert os.path.exists(os.path.join(root, "models", "model.ckpt-2"))
+    # feeder state from the base run must not leak into the adaptation run
+    os.remove(os.path.join(root, "logs", "feeder_0.pkl"))
+
+    class Adapt(Base):
+        adapt_languages = "nb-no"
+        downsample_languages = "nb-no:4"
+        max_steps = 4
+
+    hp_adapt = hp.replace(adapt_start_step=0, adapt_end_step=1,
+                          final_adapt_rate=0.5)
+    state, global_step = train(Adapt(), hp_adapt)
+    # resumed from step 2 (auto-restore from model_dir), ran to 4
+    assert global_step == 4
+    assert int(state.step) == 4
