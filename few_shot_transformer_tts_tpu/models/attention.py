@@ -77,8 +77,9 @@ class MultiheadAttention(nn.Module):
         depth = self.key_size // self.num_heads
         on_tpu = jax.default_backend() == "tpu"
         # FSTTS_PALLAS_INTERPRET=1 exercises the kernel branch on CPU via the
-        # Pallas interpreter (used by the test suite)
-        interpret = (not on_tpu) and \
+        # Pallas interpreter (used by the test suite).  Deterministic only:
+        # the interpreter has no lowering for the TPU PRNG (prng_seed).
+        interpret = (not on_tpu) and deterministic and \
             os.environ.get("FSTTS_PALLAS_INTERPRET") == "1"
 
         if self.use_pallas and not need_align and (on_tpu or interpret) and \
