@@ -105,7 +105,8 @@ class MultiheadAttention(nn.Module):
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
             x = mha_train(q, k, v, bias_vec, seed, self.num_heads, rate,
                           bool(causal), scale=depth ** -0.5,
-                          interpret=interpret)
+                          interpret=interpret,
+                          use_bias=not (causal or bias is None))
             return self.output_transform(x), None
 
         q = split_heads(q, self.num_heads)
