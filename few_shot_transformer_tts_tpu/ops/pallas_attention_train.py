@@ -211,10 +211,19 @@ def _pad_time(x, t_pad):
 
 def _block_q_for(tq_len, block_q):
     """Adaptive q-tile: one big tile up to 512 rows (measured fastest --
-    fewer grid steps, wider matmuls), multiple 512-row tiles beyond."""
+    fewer grid steps, wider matmuls), multiple 512-row tiles beyond.
+
+    For tq <= 512 the single tile is rounded to 8 (the TPU sublane quantum),
+    not 128: q/o/dq blocks carry tq second-to-minor, and the lse block --
+    where tq IS the minor dim -- spans the full array when there is one
+    q-tile, so the 128-lane rule never binds.  This keeps e.g. the flagship
+    Tout=448 decoder exactly at 448 rows instead of padding every attention
+    call to 512 (+14% VPU score work plus pad/slice copies per call)."""
     if block_q is not None:
         return block_q
-    return min(_MAX_BLOCK_Q, _rup(tq_len, 128))
+    if tq_len <= _MAX_BLOCK_Q:
+        return _rup(tq_len, 8)
+    return _MAX_BLOCK_Q
 
 
 def _specs(c, block_q, tk_pad):
