@@ -92,6 +92,9 @@ class Config:
     lr_decay_step: int = 550000
     lr_decay_rate: float = 1e-2
     adam_eps: float = 5e-8
+    # torch.optim.Adam defaults used by the reference (train.py:130)
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
 
     # ---- external embeddings (reference hyperparams.py:70-71) ----
     external_embed_dim: int = 1024
@@ -113,6 +116,12 @@ class Config:
     # Use Pallas kernels for attention where applicable (falls back to the jnp
     # reference path automatically on CPU).
     use_pallas_attention: bool = True
+    # Single-pass fused Adam update kernel (ops/fused_adam.py).  Default OFF:
+    # measured SLOWER than the optax chain on v5e (30.1 vs 29.0 ms/step) --
+    # XLA fuses the Adam update into the weight-gradient matmul epilogues,
+    # which an opaque custom call forecloses.  Kept as a tested option for
+    # backends/configs where that fusion doesn't happen.
+    use_fused_adam: bool = False
     # Gradient checkpointing (rematerialization) of encoder/decoder layers.
     remat: bool = False
     # PRNG implementation for training dropout keys.  'rbg' uses the TPU's

@@ -51,7 +51,7 @@ def make_optimizer(hp: Config) -> optax.GradientTransformation:
     (reference train.py:130-131, tacotron.py:176-179)."""
     return optax.adam(
         learning_rate=lambda count: learning_rate_schedule(count, hp),
-        eps=hp.adam_eps)
+        b1=hp.adam_beta1, b2=hp.adam_beta2, eps=hp.adam_eps)
 
 
 def create_state(model: ByteToMel, hp: Config, rng, sample_batch: Dict,
@@ -114,6 +114,13 @@ def make_train_step(model: ByteToMel, hp: Config,
     'data' and the state is replicated — or sharded per ``state_sharding``
     (see parallel/sharding_rules.state_shardings for the tensor-parallel
     layout of scaled configs)."""
+    # The fused-Adam kernel path replaces tx.update + apply_updates when the
+    # caller doesn't bring its own transformation and the params are
+    # replicated (a Pallas custom call is opaque to the SPMD partitioner, so
+    # tensor-parallel state shardings keep the optax chain, which XLA
+    # partitions elementwise).
+    use_fused = (tx is None and getattr(hp, "use_fused_adam", False)
+                 and state_sharding is None)
     tx = tx or make_optimizer(hp)
 
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
@@ -127,8 +134,14 @@ def make_train_step(model: ByteToMel, hp: Config,
             return losses["loss"], (losses, muts)
 
         grads, (losses, muts) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if use_fused:
+            from ..ops.fused_adam import fused_adam_step
+            params, opt_state = fused_adam_step(grads, state.opt_state,
+                                                state.params, hp)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state,
             batch_stats=muts.get("batch_stats", state.batch_stats))
@@ -254,7 +267,7 @@ def train(args, hp: Config):
     feeder.global_step = global_step
     feeder.start()
 
-    train_step = make_train_step(model, hp, tx, mesh=mesh)
+    train_step = make_train_step(model, hp, mesh=mesh)
     n_param = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     logging.info("Model parameters: %d", n_param)
 
