@@ -90,6 +90,22 @@ def test_causal_grads_match_autodiff(qkv):
                                    err_msg="d" + name)
 
 
+def test_multi_tile_q_parity_rate0():
+    # tq > 512 takes the multi-tile branch of _block_q_for (block_q=512,
+    # padded tq); below 512 a single whole-Tq tile rounded to 8 is used
+    rng = np.random.RandomState(1)
+    B, TQ, TK = 1, 600, 600
+    q = jnp.asarray(rng.randn(B, TQ, H * D), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(B, TK, H * D), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(B, TK, H * D), jnp.float32)
+    bias = jnp.where(jnp.arange(TK)[None, :] < 570, 0.0, -1e20)
+    seed = jnp.zeros((1, 1), jnp.int32)
+    out = mha_train(q, k, v, bias, seed, H, 0.0, False, 0.125, True)
+    ref = ref_attention(q, k, v, bias, scale=0.125)
+    assert out.shape == (B, TQ, H * D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_jit_and_seed_plumbing(qkv):
     q, k, v, bias, seed = qkv
     f = jax.jit(lambda q, k, v, s: mha_train(q, k, v, bias, s, H, 0.0, False,
