@@ -130,6 +130,18 @@ class TransformerDecoder(nn.Module):
     def setup(self):
         hp = self.hp
         hidden = hp.decoder_hidden
+        # Inherited reference constraint (transformer/tacotron.py:96-104 with
+        # modules.py:85-87): the prenet emits decoder_hidden while layer 0 is
+        # built at the encoder-memory width, so the two must be configured
+        # equal (512 + 128 + 128 = 768 in the flagship config; drop
+        # decoder_hidden accordingly when multi_speaker/multi_lingual are
+        # off).  The reference fails opaquely on the layer-0 LayerNorm here.
+        if self.input_size != hidden:
+            raise ValueError(
+                f"decoder_hidden ({hidden}) must equal encoder memory width "
+                f"({self.input_size}) = encoder_hidden"
+                " + speaker_embedding_size (if multi_speaker)"
+                " + language_embedding_size (if multi_lingual)")
         mha_cls, ffn_cls = _layer_classes(hp)
         attns, attn_lns, xattns, xattn_lns, ffns, ffn_lns = [], [], [], [], [], []
         for layer in range(hp.n_decoder_layer):
