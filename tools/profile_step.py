@@ -38,7 +38,7 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(out_dir: str, steps: int) -> None:
+def capture(out_dir: str, steps: int, decode: bool = False) -> None:
     import jax
     os.makedirs("/root/.cache/jax_compile", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile")
@@ -55,6 +55,24 @@ def capture(out_dir: str, steps: int) -> None:
     mesh = make_mesh(data=-1, model=1)
     state = create_state(model, hp, jax.random.PRNGKey(0),
                          device_batch(batch))
+
+    if decode:
+        from few_shot_transformer_tts_tpu.infer import synthesize_batch
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        dec_batch = {k: batch[k][:8] for k in (
+            "inputs", "input_lengths", "input_spk_ids",
+            "input_language_vecs")}
+        synthesize_batch(model, variables, dec_batch, hp, deterministic=True,
+                         collect_alignments=False, max_frames=512)  # compile
+        jax.profiler.start_trace(out_dir)
+        for _ in range(steps):
+            synthesize_batch(model, variables, dec_batch, hp,
+                             deterministic=True, collect_alignments=False,
+                             max_frames=512)
+        jax.profiler.stop_trace()
+        return
+
     train_step = make_train_step(model, hp, mesh=mesh, donate=True)
     dbatch = shard_batch(device_batch(batch), mesh)
     rng = jax.random.key(0, impl=hp.prng_impl)
@@ -115,11 +133,14 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--out", default="/tmp/tputrace")
+    ap.add_argument("--decode", action="store_true",
+                    help="profile the AR-decode loop instead of the train step"
+                         " (per-step numbers are per synthesize_batch call)")
     ap.add_argument("--summarize-only", action="store_true",
                     help="parse an existing trace directory")
     args = ap.parse_args()
     if not args.summarize_only:
-        capture(args.out, args.steps)
+        capture(args.out, args.steps, decode=args.decode)
     summarize(args.out, args.steps)
 
 
