@@ -14,6 +14,7 @@ import glob
 import json
 import logging
 import os
+import signal
 import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
@@ -72,9 +73,38 @@ def run_transcription(eval_path, names, existent_samples, meta_index,
     cer_window.update(keys, values)
 
 
+def select_checkpoints(paths, finished, start_step: int, eval_steps,
+                       eval_interval: int):
+    """Filter checkpoint paths for evaluation (reference eval.py:130-143).
+
+    A checkpoint is kept when its step suffix is numeric, it hasn't been
+    evaluated yet, and either it is explicitly listed in ``eval_steps`` or
+    (with no explicit list match) it clears ``start_step`` AND falls on an
+    ``eval_interval`` boundary.  Returns [(path, step)] sorted by step.
+    """
+    out = []
+    for path in paths:
+        step = path.split("-")[-1]
+        if path in finished or not step.isnumeric():
+            continue
+        step = int(step)
+        if eval_steps and step in eval_steps:
+            pass
+        elif step < start_step or (eval_steps and step not in eval_steps) \
+                or step % eval_interval != 0:
+            continue
+        out.append((path, step))
+    out.sort(key=lambda x: x[-1])
+    return out
+
+
 def main(args, hp: Config):
     logdir, model_dir, data_dir = args.log_dir, args.model_dir, args.data_dir
     import datetime
+    # hung-process stack dumps, parity with reference eval.py:23-24
+    if hasattr(signal, "SIGUSR1"):
+        import faulthandler
+        faulthandler.register(signal.SIGUSR1)
     os.makedirs(logdir, exist_ok=True)
     open(os.path.join(logdir, "hparams.json"), "w").write(hp.to_json(indent=1))
     open(os.path.join(logdir, "args.json"), "w").write(
@@ -130,17 +160,10 @@ def main(args, hp: Config):
     while True:
         if len(ckpt) == 0:
             logging.info("Scanning: %s", model_dir)
-            for l in glob.iglob(os.path.join(model_dir, "model.ckpt-*")):
-                step = l.split("-")[-1]
-                if l not in finished_ckpt and step.isnumeric():
-                    if eval_steps and int(step) in eval_steps:
-                        pass
-                    elif int(step) < args.start_step or \
-                            (eval_steps and int(step) not in eval_steps) or \
-                            int(step) % args.eval_interval != 0:
-                        continue
-                    ckpt.append((l, int(step)))
-            ckpt.sort(key=lambda x: x[-1])
+            ckpt = select_checkpoints(
+                glob.iglob(os.path.join(model_dir, "model.ckpt-*")),
+                finished_ckpt, args.start_step, eval_steps,
+                args.eval_interval)
         if len(ckpt) == 0:
             if args.no_wait:
                 logging.info("No more ckpt, exit")
@@ -220,4 +243,7 @@ def main(args, hp: Config):
             window.clear()
         logging.info("Finished eval in %.3f sec (sample generation %.3f)",
                      time.time() - tic, evaltime)
+        # mirror eval logs next to the checkpoints (reference eval.py:218)
+        from ..train.loop import _mirror_logs
+        _mirror_logs(logdir, os.path.join(model_dir, "logs_eval"))
         finished_ckpt.append(ckpt_path)

@@ -65,7 +65,10 @@ def _adam_kernel(sc_ref, p_ref, g_ref, m_ref, v_ref, po_ref, mo_ref, vo_ref,
 def _block_rows(r: int, c: int) -> int:
     by_bytes = max(1, _BLOCK_BYTES // (4 * c))
     rows = min(r, by_bytes)
-    return max(8, rows // 8 * 8) if rows >= 8 else r
+    # very wide minor dims (> _BLOCK_BYTES/32 elements) can't fit 8 rows in
+    # the per-buffer budget; keep the unrounded row count rather than falling
+    # back to the full array (which would blow the 7-buffer VMEM budget)
+    return max(8, rows // 8 * 8) if rows >= 8 else max(1, rows)
 
 
 @functools.partial(jax.jit, static_argnames=("b1", "b2", "eps", "interpret"))

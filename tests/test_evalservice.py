@@ -103,3 +103,131 @@ def test_eval_service_one_shot(trained_run):
                open(os.path.join(root, "eval_logs", "metrics.jsonl"))]
     tags = {m["tag"] for m in metrics}
     assert any(t.startswith("mse_dtw") for t in tags), tags
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-filter matrix (reference eval.py:130-143)
+# ---------------------------------------------------------------------------
+
+
+def test_select_checkpoints_interval_and_start_step():
+    from few_shot_transformer_tts_tpu.infer.evalservice import \
+        select_checkpoints
+
+    paths = ["m/model.ckpt-%d" % s for s in
+             [5000, 10000, 15000, 20000, 30000, 40001]]
+    got = select_checkpoints(paths, finished=[], start_step=10000,
+                             eval_steps=None, eval_interval=10000)
+    # 5000 below start_step; 15000 and 40001 off the interval
+    assert got == [("m/model.ckpt-10000", 10000),
+                   ("m/model.ckpt-20000", 20000),
+                   ("m/model.ckpt-30000", 30000)]
+
+
+def test_select_checkpoints_eval_steps_is_exclusive_allowlist():
+    from few_shot_transformer_tts_tpu.infer.evalservice import \
+        select_checkpoints
+
+    paths = ["m/model.ckpt-%d" % s for s in [5000, 10000, 20000, 25000]]
+    # an explicit list admits steps below start_step and off the interval,
+    # and rejects everything else
+    got = select_checkpoints(paths, finished=[], start_step=50000,
+                             eval_steps=[5000, 25000], eval_interval=10000)
+    assert got == [("m/model.ckpt-5000", 5000), ("m/model.ckpt-25000", 25000)]
+
+
+def test_select_checkpoints_skips_finished_and_non_numeric():
+    from few_shot_transformer_tts_tpu.infer.evalservice import \
+        select_checkpoints
+
+    paths = ["m/model.ckpt-10000", "m/model.ckpt-20000",
+             "m/model.ckpt-backup", "m/model.ckpt-tmp-1a"]
+    got = select_checkpoints(paths, finished=["m/model.ckpt-10000"],
+                             start_step=0, eval_steps=None,
+                             eval_interval=10000)
+    assert got == [("m/model.ckpt-20000", 20000)]
+
+
+def test_select_checkpoints_sorted_by_step():
+    from few_shot_transformer_tts_tpu.infer.evalservice import \
+        select_checkpoints
+
+    paths = ["m/model.ckpt-30000", "m/model.ckpt-10000", "m/model.ckpt-20000"]
+    got = select_checkpoints(paths, finished=[], start_step=0,
+                             eval_steps=None, eval_interval=10000)
+    assert [s for _, s in got] == [10000, 20000, 30000]
+
+
+# ---------------------------------------------------------------------------
+# transcription-cache merge (reference eval.py:27-59)
+# ---------------------------------------------------------------------------
+
+
+def _fake_transcription(name, lang="en-us", cer=0.25, ok=True):
+    if ok:
+        return {"name": name, "locale": lang, "cer": cer,
+                "DisplayText": "text for %s" % name}
+    return {"name": name, "locale": lang, "cer": 1.0, "DisplayText": "",
+            "fail": True}
+
+
+def test_run_transcription_merges_cache(tmp_path, monkeypatch):
+    from few_shot_transformer_tts_tpu.infer import evalservice
+    from few_shot_transformer_tts_tpu.utils import infolog, metrics
+
+    eval_path = str(tmp_path)
+    # cache: 'kept' succeeded before and is not requested again;
+    # 'stale' failed before (empty DisplayText) so it must be re-transcribed
+    cache = [_fake_transcription("kept", cer=0.5),
+             _fake_transcription("stale", ok=False)]
+    with open(os.path.join(eval_path, "transcriptions.jsonl"), "w") as f:
+        for t in cache:
+            f.write(json.dumps(t) + "\n")
+
+    called = []
+
+    def fake_transcribe(wav_path, meta, id_to_lang):
+        name = meta["n"][:-4]
+        called.append(name)
+        return _fake_transcription(name, ok=(name != "bad"))
+
+    monkeypatch.setattr(metrics, "transcribe", fake_transcribe)
+
+    meta_index = {n + ".npy": {"n": n + ".npy", "t": "x", "i": "en_us"}
+                  for n in ["new", "bad", "stale", "kept"]}
+    window = infolog.LookupWindow("cer", reduction="avg")
+    evalservice.run_transcription(
+        eval_path, names=["new", "bad"], existent_samples=["kept", "stale"],
+        meta_index=meta_index, cer_window=window, step=7)
+
+    # 'kept' came from the cache; the rest were (re-)transcribed
+    assert sorted(called) == ["bad", "new", "stale"]
+    lines = [json.loads(l) for l in
+             open(os.path.join(eval_path, "transcriptions.jsonl"))]
+    assert [t["name"] for t in lines] == sorted(
+        ["kept", "new", "bad", "stale"])
+    by_name = {t["name"]: t for t in lines}
+    assert by_name["kept"]["cer"] == 0.5          # cache survived the merge
+    assert by_name["bad"].get("fail")             # failure recorded, cer=1.0
+    # the window averages over ALL merged entries (cached 'kept' included)
+    # but excludes failed samples (reference eval.py:53-57)
+    summary = dict(window.summary())
+    assert summary["cer/en-us"] == pytest.approx((0.5 + 0.25 + 0.25) / 3)
+
+
+def test_run_transcription_no_cache(tmp_path, monkeypatch):
+    from few_shot_transformer_tts_tpu.infer import evalservice
+    from few_shot_transformer_tts_tpu.utils import infolog, metrics
+
+    monkeypatch.setattr(
+        metrics, "transcribe",
+        lambda wav_path, meta, id_to_lang: _fake_transcription(meta["n"][:-4]))
+    meta_index = {"a.npy": {"n": "a.npy", "t": "x", "i": "en_us"}}
+    window = infolog.LookupWindow("cer", reduction="avg")
+    evalservice.run_transcription(
+        str(tmp_path), names=["a", "unknown"], existent_samples=[],
+        meta_index=meta_index, cer_window=window, step=1)
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path), "transcriptions.jsonl"))]
+    # 'unknown' has no metadata row -> silently skipped (reference eval.py:47)
+    assert [t["name"] for t in lines] == ["a"]

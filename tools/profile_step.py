@@ -90,7 +90,7 @@ def capture(out_dir: str, steps: int, decode: bool = False) -> None:
 def classify(name: str) -> str:
     if "attentions_" in name:
         return "pallas-attention-kernels"
-    if re.match(r"%(convolution|conv)", name):
+    if re.match(r"%?(convolution|conv)", name):  # '%' prefix varies by version
         return "convolution"
     if "all-reduce" in name:
         return "all-reduce"
