@@ -291,9 +291,20 @@ def train(args, hp: Config):
 
     def fetch_device_batch():
         batch = feeder.get_batch()
-        dbatch = mesh_lib.pad_batch_to_devices(device_batch(batch),
-                                               mesh.shape["data"])
-        return batch, mesh_lib.shard_batch(dbatch, mesh)
+        dbatch = device_batch(batch)
+        if jax.process_count() == 1:
+            dbatch = mesh_lib.pad_batch_to_devices(dbatch, mesh.shape["data"])
+        # multi-process row padding happens inside assemble_global_batch,
+        # where the cross-host shape agreement lives
+        return batch, mesh_lib.assemble_global_batch(dbatch, mesh)
+
+    # Rolling host mirror for crash recovery: make_train_step donates the
+    # state, so when a step fails mid-execution the live ``state`` buffers may
+    # be invalidated and un-fetchable.  A periodic device_get (~1 s for the
+    # flagship tree, amortized over mirror_interval steps) guarantees the
+    # except-path always has something recent to save.
+    mirror_interval = getattr(args, "mirror_interval", None) or 1000
+    host_mirror = (jax.device_get(state), global_step)
 
     logging.info("Start training run")
     batch, dbatch = fetch_device_batch()
@@ -312,16 +323,16 @@ def train(args, hp: Config):
                           str(batch["mel_targets"].shape))
             traceback.print_exc()
             # crash recovery (reference train.py:175-186): persist data + model
-            ckpt_lib.save_feeder_state(logdir, rank, feeder)
-            if rank == 0:
-                ckpt_lib.save_state(model_dir, jax.device_get(state),
-                                    global_step)
+            crash_save(logdir, model_dir, rank, feeder, state, global_step,
+                       host_mirror)
             sys.exit(1)
 
         global_step += 1
         feeder.global_step = global_step
         prev_batch = batch
         batch, dbatch = next_batch, next_dbatch
+        if global_step % mirror_interval == 0:
+            host_mirror = (jax.device_get(state), global_step)
 
         # profiler hooks (SURVEY.md section 5: the reference has only
         # wall-clock windows; here a jax.profiler trace can be captured)
@@ -384,9 +395,45 @@ def train(args, hp: Config):
                 ckpt_lib.save_feeder_state(logdir, rank, feeder)
 
         if stop_requested:
+            if rank != 0:
+                # rank 0 saved inside its logging block; non-zero ranks must
+                # persist their feeder state too or a preempted multi-host job
+                # resumes with inconsistent per-rank iterators
+                ckpt_lib.save_feeder_state(logdir, rank, feeder)
             logging.info("Termination signal received; state saved, exiting.")
             break
     return state, global_step
+
+
+def crash_save(logdir, model_dir, rank, feeder, state, global_step,
+               host_mirror=None):
+    """Persist feeder + model state from the train-loop except path
+    (reference train.py:175-186), donation-safe.
+
+    The jitted step donates the state buffers, so after a failed step the
+    live ``state`` may be un-fetchable; in that case fall back to the rolling
+    ``host_mirror`` (state_pytree, step) snapshot.  The feeder state is saved
+    on every rank regardless.
+    """
+    try:
+        ckpt_lib.save_feeder_state(logdir, rank, feeder)
+    except Exception:
+        traceback.print_exc()
+    if rank != 0:
+        return
+    try:
+        ckpt_lib.save_state(model_dir, jax.device_get(state), global_step)
+        logging.info("Crash checkpoint saved at step %d", global_step)
+        return
+    except Exception:
+        logging.error("Live state unavailable after the failed step "
+                      "(donated buffers); falling back to the host mirror")
+        traceback.print_exc()
+    if host_mirror is not None:
+        mirror_state, mirror_step = host_mirror
+        ckpt_lib.save_state(model_dir, mirror_state, mirror_step)
+        logging.info("Crash checkpoint saved from mirror at step %d",
+                     mirror_step)
 
 
 def _mirror_logs(logdir, dest):

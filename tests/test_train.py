@@ -330,3 +330,70 @@ def test_few_shot_adaptation_flow(tmp_path):
     # resumed from step 2 (auto-restore from model_dir), ran to 4
     assert global_step == 4
     assert int(state.step) == 4
+
+
+# ---------------------------------------------------------------------------
+# crash-recovery save (donation-safe; reference train.py:175-186 is the
+# untested-by-the-reference path this framework pins down)
+# ---------------------------------------------------------------------------
+
+
+class _StubFeeder:
+    def state_dict(self):
+        return {"offset": 3, "epoch": 1, "rand": None}
+
+
+def _tiny_state(step=5):
+    import flax.struct
+    from few_shot_transformer_tts_tpu.train.loop import TrainState
+    return TrainState(step=jnp.asarray(step, jnp.int32),
+                      params={"w": jnp.ones((4,), jnp.float32)},
+                      opt_state=(), batch_stats={})
+
+
+def test_crash_save_with_live_state(tmp_path):
+    from few_shot_transformer_tts_tpu.train import checkpoint as ckpt_lib
+    from few_shot_transformer_tts_tpu.train.loop import crash_save
+
+    logdir, model_dir = str(tmp_path / "logs"), str(tmp_path / "models")
+    os.makedirs(logdir, exist_ok=True)
+    state = _tiny_state(step=5)
+    crash_save(logdir, model_dir, rank=0, feeder=_StubFeeder(), state=state,
+               global_step=5, host_mirror=(jax.device_get(state), 5))
+    assert os.path.exists(os.path.join(logdir, "feeder_0.pkl"))
+    assert ckpt_lib.find_ckpt(model_dir).endswith("model.ckpt-5")
+
+
+def test_crash_save_falls_back_to_mirror_after_donation(tmp_path):
+    """Simulate the donated-buffer failure mode: the live state contains a
+    deleted (donated) array, so device_get raises; the rolling host mirror
+    must be saved instead."""
+    from few_shot_transformer_tts_tpu.train import checkpoint as ckpt_lib
+    from few_shot_transformer_tts_tpu.train.loop import crash_save
+
+    logdir, model_dir = str(tmp_path / "logs"), str(tmp_path / "models")
+    os.makedirs(logdir, exist_ok=True)
+
+    mirror = (jax.device_get(_tiny_state(step=3)), 3)
+    dead = _tiny_state(step=5)
+    dead.params["w"].delete()       # what a failed donated step leaves behind
+    crash_save(logdir, model_dir, rank=0, feeder=_StubFeeder(), state=dead,
+               global_step=5, host_mirror=mirror)
+
+    assert os.path.exists(os.path.join(logdir, "feeder_0.pkl"))
+    path = ckpt_lib.find_ckpt(model_dir)
+    assert path.endswith("model.ckpt-3"), path  # mirror step, not live step
+    restored = ckpt_lib.load_state(path, _tiny_state(step=0))
+    assert int(restored.step) == 3
+
+
+def test_crash_save_nonzero_rank_saves_feeder_only(tmp_path):
+    from few_shot_transformer_tts_tpu.train import checkpoint as ckpt_lib
+    from few_shot_transformer_tts_tpu.train.loop import crash_save
+
+    logdir, model_dir = str(tmp_path / "logs"), str(tmp_path / "models")
+    os.makedirs(logdir, exist_ok=True)
+    crash_save(logdir, model_dir, rank=2, feeder=_StubFeeder(),
+               state=_tiny_state(), global_step=5, host_mirror=None)
+    assert os.path.exists(os.path.join(logdir, "feeder_2.pkl"))
+    assert ckpt_lib.find_ckpt(model_dir) is None

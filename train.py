@@ -38,6 +38,9 @@ def build_parser():
                         help='jax.distributed multi-host training '
                              '(replaces the reference --ddp flag)')
     parser.add_argument('--max_steps', type=int, default=None)
+    parser.add_argument('--mirror_interval', type=int, default=1000,
+                        help='steps between host-side state mirrors used by '
+                             'the donation-safe crash-recovery save')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--profile_dir', default=None,
                         help='capture a jax.profiler trace here')
