@@ -54,68 +54,71 @@ def _corpus_dirs(transformed, corpus_list):
 # ---------------------------------------------------------------------------
 
 
+def _peel_edge_spikes(spans, y_abs, peak):
+    """Drop leading/trailing voiced spans that look like stray noise rather
+    than speech, from each end inward until a real span is hit.
+
+    A span is peeled when it is isolated from its inward neighbor by >= 4096
+    samples AND is either faint (< peak/10) or both brief (no longer than
+    half its gap to the neighbor) and quiet (< peak/4).  Empty spans peel
+    unconditionally.  Constants are pinned by output parity with the
+    reference recipe (reference corpora/process_corpus.py:51-75).
+
+    Returns (surviving spans, number peeled).
+    """
+    lo, hi = 0, len(spans) - 1
+    peeled = 0
+    for step in (1, -1):            # from the head, then from the tail
+        while hi > lo:
+            edge = lo if step == 1 else hi
+            start, stop = spans[edge]
+            if start == stop:
+                lo, hi = lo + (step == 1), hi - (step == -1)
+                peeled += 1
+                continue
+            nb_start, nb_stop = spans[edge + step]
+            gap = (nb_start - stop) if step == 1 else (start - nb_stop)
+            span_peak = np.max(y_abs[start:stop])
+            faint = span_peak < peak / 10
+            brief_and_quiet = (stop - start) <= gap // 2 and \
+                span_peak < peak / 4
+            if gap >= 4096 and (faint or brief_and_quiet):
+                lo, hi = lo + (step == 1), hi - (step == -1)
+                peeled += 1
+            else:
+                break
+    return spans[lo:hi + 1], peeled
+
+
 def trim_wav(y: np.ndarray, corpus_name: str, sr: int = 16000):
-    """One utterance through the reference trimming recipe.  Returns the
-    processed wav, or (None, reason) when rejected."""
-    ints = dsp.split_intervals(y, top_db=40, frame_length=2048,
-                               hop_length=512)
+    """One utterance through the trimming recipe (output parity with
+    reference corpora/process_corpus.py:26-124).  Returns the processed wav,
+    or (None, reason) when rejected."""
+    spans = dsp.split_intervals(y, top_db=40, frame_length=2048,
+                                hop_length=512)
     y_abs = np.abs(y)
-    ref = np.max(y_abs)
-    if len(ints) == 0:
+    peak = np.max(y_abs)
+    if len(spans) == 0:
         return None, "silent"
 
-    # edge noise spikes: drop leading/trailing intervals that are quiet
-    # relative to the peak (or short relative to the following gap) when
-    # separated from the rest by >= 4096 samples
-    ints = [list(t) for t in ints]
-    n_removed = 0
-    while len(ints) > 1:
-        if ints[0][0] == ints[0][1]:
-            ints = ints[1:]
-            n_removed += 1
-            continue
-        mv = np.max(y_abs[ints[0][0]: ints[0][1]])
-        if (mv < ref / 10 or (ints[0][1] - ints[0][0] <=
-                              (ints[1][0] - ints[0][1]) // 2 and
-                              mv < ref / 4)) and \
-                ints[1][0] - ints[0][1] >= 4096:
-            ints = ints[1:]
-            n_removed += 1
-        else:
-            break
-    while len(ints) > 1:
-        if ints[-1][0] == ints[-1][1]:
-            ints = ints[:-1]
-            n_removed += 1
-            continue
-        mv = np.max(y_abs[ints[-1][0]: ints[-1][1]])
-        if (mv < ref / 10 or (ints[-1][1] - ints[-1][0] <=
-                              (ints[-1][0] - ints[-2][1]) // 2 and
-                              mv < ref / 4)) and \
-                ints[-1][0] - ints[-2][1] >= 4096:
-            ints = ints[:-1]
-            n_removed += 1
-        else:
-            break
+    spans, _ = _peel_edge_spikes([list(s) for s in spans], y_abs, peak)
 
-    # long internal silence -> reject the sample
-    if corpus_name in ["pt_br"] or corpus_name.startswith("caito") or \
-            corpus_name.startswith("css10"):
-        thres = 16000
-    else:
-        thres = 12288
-    for k in range(len(ints) - 1):
-        if ints[k + 1][0] - ints[k][1] >= thres:
+    # long internal silence -> reject the sample; a few corpora with slower
+    # read pacing get a looser gap budget (1 s vs 0.768 s)
+    gap_budget = 16000 if (corpus_name in ["pt_br"] or
+                           corpus_name.startswith("caito") or
+                           corpus_name.startswith("css10")) else 12288
+    for (_, stop), (nxt_start, _) in zip(spans, spans[1:]):
+        if nxt_start - stop >= gap_budget:
             return None, "gap"
 
     # amplitude normalization: 95th percentile of voiced |amplitude| -> 0.244
-    voiced = np.concatenate([y[l:r] for l, r in ints])
-    voiced = np.sort(np.abs(voiced))
+    voiced = np.sort(np.abs(np.concatenate([y[l:r] for l, r in spans])))
     p95 = voiced[int(len(voiced) * 0.95)]
     if p95 <= 0:
         return None, "silent"
     y = y * (0.244 / p95)
-    y = y[ints[0][0]: ints[-1][1]]
+    y = y[spans[0][0]: spans[-1][1]]
 
     # exact silence margins: 1600 leading / 2400 trailing samples
     _, (l, r) = dsp.trim_edges(y, top_db=40, frame_length=256, hop_length=64)

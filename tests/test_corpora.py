@@ -169,3 +169,29 @@ def test_packed_output_feeds_training(packed):
     examples = f.get_examples(4)
     assert all(ex["mel_target"].shape[1] == 20 for ex in examples)
     assert all(ex["input"][0] == 2 for ex in examples)
+
+
+def test_peel_edge_spikes_both_ends():
+    """Pin the unified edge-peel against the two-while-loop semantics of the
+    reference (reference corpora/process_corpus.py:51-75)."""
+    rng = np.random.RandomState(0)
+    y = np.zeros(60000, np.float32)
+    y[1000:1020] = 0.05          # faint leading click (< peak/10)
+    y[20000:36000] = rng.uniform(-1, 1, 16000).astype(np.float32)  # speech
+    y[50000:50100] = 0.2         # short quiet trailing spike (< peak/4)
+    y_abs = np.abs(y)
+    spans = [[1000, 1020], [20000, 36000], [50000, 50100]]
+    kept, peeled = pc._peel_edge_spikes([list(s) for s in spans], y_abs, 1.0)
+    assert kept == [[20000, 36000]] and peeled == 2
+
+    # a loud leading span survives; an empty span always peels
+    spans = [[1000, 1010], [1010, 1010], [20000, 36000]]
+    y_abs2 = y_abs.copy()
+    y_abs2[1000:1010] = 0.9
+    kept, peeled = pc._peel_edge_spikes([list(s) for s in spans], y_abs2, 1.0)
+    assert kept[0] == [1000, 1010] and peeled == 0
+
+    # isolation gate: a faint spike closer than 4096 samples is kept
+    spans = [[17000, 17020], [20000, 36000]]
+    kept, _ = pc._peel_edge_spikes([list(s) for s in spans], y_abs, 1.0)
+    assert kept[0] == [17000, 17020]
