@@ -46,11 +46,11 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("model", "max_frames", "deterministic",
-                     "collect_alignments"))
+                     "collect_alignments", "collect_self_alignments"))
 def _decode_loop(model: ByteToMel, variables, inputs, input_lengths,
                  input_spk_ids, input_language_vecs, rng,
                  max_frames: int, deterministic: bool,
-                 collect_alignments: bool):
+                 collect_alignments: bool, collect_self_alignments: bool):
     hp = model.hp
     b, t_in = inputs.shape
     n_layers = hp.n_decoder_layer
@@ -68,6 +68,11 @@ def _decode_loop(model: ByteToMel, variables, inputs, input_lengths,
     align_buf = jnp.zeros(
         (n_layers, b, heads, max_frames if collect_alignments else 1, t_in),
         align_dt)
+    # self-attention rows span the cache capacity; opt-in — the buffer is
+    # O(L*B*H*T^2) (reference synthesize.py:69-72 always returns both).
+    self_buf = jnp.zeros(
+        (n_layers, b, heads, max_frames if collect_self_alignments else 1,
+         max_frames if collect_self_alignments else 1), align_dt)
 
     def cond(state):
         step, finished = state[0], state[1]
@@ -75,8 +80,8 @@ def _decode_loop(model: ByteToMel, variables, inputs, input_lengths,
                                jnp.logical_not(jnp.all(finished)))
 
     def body(state):
-        (step, finished, target_lengths, prev_mel, mels, aligns, cache,
-         key) = state
+        (step, finished, target_lengths, prev_mel, mels, aligns, self_aligns,
+         cache, key) = state
         key, sub = jax.random.split(key)
         rngs = None if deterministic else {"dropout": sub}
 
@@ -87,52 +92,59 @@ def _decode_loop(model: ByteToMel, variables, inputs, input_lengths,
             x = mdl.decoder.prenet(prev_mel.astype(mdl.dtype),
                                    deterministic=deterministic)
             x = jnp.where(finished[:, None], 0.0, x)
-            out, new_cache, align = mdl.decoder.decoder.decode_step(
+            out, new_cache, align, self_a = mdl.decoder.decoder.decode_step(
                 x, step, cache, memory_kv, memory_bias,
-                deterministic=deterministic)
+                deterministic=deterministic,
+                collect_self=collect_self_alignments)
             mel = mdl.decoder.mel_net(out).astype(jnp.float32)
             stop = mdl.decoder.stop_net(out)[..., 0].astype(jnp.float32)
-            return mel, stop, new_cache, align
+            return mel, stop, new_cache, align, self_a
 
-        mel_t, stop_t, cache, align_t = model.apply(
+        mel_t, stop_t, cache, align_t, self_t = model.apply(
             variables, method=step_fn, rngs=rngs)
 
         mels = jax.lax.dynamic_update_index_in_dim(mels, mel_t, step, axis=1)
         if collect_alignments:
             aligns = jax.lax.dynamic_update_index_in_dim(
                 aligns, align_t.astype(aligns.dtype), step, axis=3)
+        if collect_self_alignments:
+            self_aligns = jax.lax.dynamic_update_index_in_dim(
+                self_aligns, self_t.astype(self_aligns.dtype), step, axis=3)
         stop = stop_t > 0
         finished = jnp.logical_or(finished, stop)
         target_lengths = jnp.where(finished, target_lengths, target_lengths + 1)
         return (step + 1, finished, target_lengths, mel_t, mels, aligns,
-                cache, key)
+                self_aligns, cache, key)
 
     init = (jnp.asarray(0, jnp.int32),
             jnp.zeros((b,), jnp.bool_),
             jnp.ones((b,), jnp.int32),
             jnp.zeros((b, hp.num_mels), jnp.float32),
-            mels_buf, align_buf, cache, rng)
-    (n_steps, finished, target_lengths, _, mels, aligns, _, _) = \
+            mels_buf, align_buf, self_buf, cache, rng)
+    (n_steps, finished, target_lengths, _, mels, aligns, self_aligns, _, _) = \
         jax.lax.while_loop(cond, body, init)
 
     # postnet once at the end (reference synthesize.py:56); eval mode.
     residual = model.apply(variables, mels, target_lengths,
                            method=ByteToMel.postnet_residual)
     mel_aft = mels + residual
-    return mels, mel_aft, target_lengths, aligns, n_steps
+    return mels, mel_aft, target_lengths, aligns, self_aligns, n_steps
 
 
 def synthesize_batch(model: ByteToMel, variables, batch: Dict[str, Any],
                      hp: Config, deterministic: bool = False,
                      rng: Optional[jax.Array] = None,
                      collect_alignments: bool = True,
+                     collect_self_alignments: bool = False,
                      max_frames: Optional[int] = None) -> Dict[str, Any]:
     """Greedy AR synthesis of a packed batch (reference synthesize.py:17-72).
 
     batch needs: inputs [B, Tin] int32, input_lengths [B]; optional
     input_spk_ids, input_language_vecs, names.  Returns the reference's result
     dict: names, mel_pre, mel_aft, alignments, input_lengths,
-    generated_lengths.
+    generated_lengths.  ``collect_self_alignments`` additionally returns the
+    decoder self-attention alignments (reference synthesize.py:69-72 returns
+    them unconditionally); opt-in because the buffer is O(L*B*H*T^2).
     """
     tic = time.time()
     inputs = np.asarray(batch["inputs"])
@@ -157,11 +169,12 @@ def synthesize_batch(model: ByteToMel, variables, batch: Dict[str, Any],
         rng = jax.random.PRNGKey(int(time.time() * 1e6) % (2 ** 31))
     cap = int(max_frames or hp.max_generation_frames)
 
-    mels, mel_aft, target_lengths, aligns, n_steps = _decode_loop(
+    mels, mel_aft, target_lengths, aligns, self_aligns, n_steps = _decode_loop(
         model, variables, jnp.asarray(inputs_p), jnp.asarray(input_lengths),
         jnp.asarray(spk), jnp.asarray(lvec), rng,
         max_frames=cap, deterministic=deterministic,
-        collect_alignments=collect_alignments)
+        collect_alignments=collect_alignments,
+        collect_self_alignments=collect_self_alignments)
 
     mels = np.asarray(mels)[:b]
     mel_aft = np.asarray(mel_aft)[:b]
@@ -181,6 +194,12 @@ def synthesize_batch(model: ByteToMel, variables, batch: Dict[str, Any],
         # reference layout: list per layer of [B, H, T_enc(mem), T_dec(query)]
         alignments["encdec"] = [a[i].transpose(0, 1, 3, 2)
                                 for i in range(a.shape[0])]
+    if collect_self_alignments:
+        s = np.asarray(self_aligns.astype(jnp.float32))[
+            :, :b, :, :n_steps, :n_steps]
+        # same layout with mem = decoded frames (reference synthesize.py:69-71)
+        alignments["self"] = [s[i].transpose(0, 1, 3, 2)
+                              for i in range(s.shape[0])]
 
     return {"names": batch.get("names", [str(i) for i in range(b)]),
             "mel_pre": mels[:, :n_steps], "mel_aft": mel_aft[:, :n_steps],

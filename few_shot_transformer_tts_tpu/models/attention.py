@@ -152,7 +152,10 @@ class MultiheadAttention(nn.Module):
         """One causal self-attention step.
 
         x: [B, C] current (layer-normed) input.  cache_k/v: [B, H, Tcap, D].
-        step: scalar int32 current position.  Returns (out [B, C], new caches).
+        step: scalar int32 current position.  Returns (out [B, C], new caches,
+        align [B, H, Tcap]) — align is the pre-dropout softmax over cached
+        positions (reference transformer/attention.py:86-88 keeps the same
+        tensor for the self-attention alignment plots).
         """
         assert self.is_self_attention
         combined = self.qkv_transform(x)              # [B, 2K + V]
@@ -172,12 +175,13 @@ class MultiheadAttention(nn.Module):
         causal = jnp.arange(t_cap)[None, None, :] <= step
         logits = jnp.where(causal, logits, NEG_INF)
         weights = jax.nn.softmax(logits, axis=-1)
+        align = weights
         weights = self.attn_dropout(weights, deterministic=deterministic)
         ctx = jnp.einsum("bht,bhtd->bhd", weights.astype(self.dtype), cache_v,
                          preferred_element_type=jnp.float32)
         out = self.output_transform(
             ctx.astype(self.dtype).reshape(b, self.value_size))
-        return out, cache_k, cache_v
+        return out, cache_k, cache_v, align
 
     def decode_cross_step(self, x: jnp.ndarray, mem_k: jnp.ndarray,
                           mem_v: jnp.ndarray, mem_bias: jnp.ndarray,

@@ -236,11 +236,17 @@ class TransformerDecoder(nn.Module):
 
     def decode_step(self, x: jnp.ndarray, step: jnp.ndarray,
                     cache: Dict[str, jnp.ndarray], memory_kv,
-                    memory_bias: jnp.ndarray, deterministic: bool = True):
+                    memory_bias: jnp.ndarray, deterministic: bool = True,
+                    collect_self: bool = False):
         """One decoder step.
 
         x: [B, H] = prenet(prev_frame); PE is added here.  Returns
-        (out [B, H], new_cache, encdec_align [n_layers, B, H, Tm]).
+        (out [B, H], new_cache, encdec_align [n_layers, B, H, Tm],
+        self_align [n_layers, B, H, Tcap] or None).  The reference's
+        eval_batch returns both self and enc-dec alignments
+        (reference synthesize.py:69-72 via modules.py:123-145); self
+        alignments are opt-in here because the per-step rows span the whole
+        cache capacity.
         """
         cap = cache["k_0"].shape[2]
         pe = sinusoid_position_encoding(cap, x.shape[-1]).astype(x.dtype)
@@ -248,14 +254,15 @@ class TransformerDecoder(nn.Module):
             * self.pe_scale.astype(x.dtype)
         x = self.dropout(x, deterministic=deterministic)
 
-        aligns = []
+        aligns, self_aligns = [], []
         new_cache = dict(cache)
         for i in range(len(self.self_attentions)):
             h = self.attn_layer_norms[i](x)
-            y, ck, cv = self.self_attentions[i].decode_self_step(
+            y, ck, cv, sa = self.self_attentions[i].decode_self_step(
                 h, cache[f"k_{i}"], cache[f"v_{i}"], step,
                 deterministic=deterministic)
             new_cache[f"k_{i}"], new_cache[f"v_{i}"] = ck, cv
+            self_aligns.append(sa)
             x = x + self.dropout(y, deterministic=deterministic)
 
             h = self.encdec_layer_norms[i](x)
@@ -268,4 +275,5 @@ class TransformerDecoder(nn.Module):
             y = self.ffn_layers[i](self.ffn_layer_norms[i](x), deterministic)
             x = x + self.dropout(y, deterministic=deterministic)
         out = self.output_layer_norm(x)
-        return out, new_cache, jnp.stack(aligns)
+        return out, new_cache, jnp.stack(aligns), \
+            (jnp.stack(self_aligns) if collect_self else None)

@@ -287,7 +287,7 @@ class ByteToMel(nn.Module):
         deterministic = not decoder_dropout
         x = self.decoder.prenet(prev_mel.astype(self.dtype),
                                 deterministic=deterministic)
-        out, cache, align = self.decoder.decoder.decode_step(
+        out, cache, align, _ = self.decoder.decoder.decode_step(
             x, step, cache, memory_kv, memory_bias,
             deterministic=deterministic)
         mel = self.decoder.mel_net(out).astype(jnp.float32)

@@ -55,6 +55,13 @@ NEG_INF = -1e20
 _PAD_NEG = -1e30
 _MAX_BLOCK_Q = 512
 
+# Mosaic's default scoped-VMEM budget is 16 MB; its accounting includes a
+# slowly batch-dependent stack component that tips the whole-K backward just
+# past 16 MB at B>=32 (measured: 17.69 MB at B=32, 18.91 MB at B=64 on v5e).
+# v5e has 128 MB of physical VMEM per core; raise the kernel budget so the
+# TPU-sized packed batches (2-4x the reference's GPU-VRAM-era limits) compile.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _block_seed(seed_ref, b, h, iq):
     # distinct stream per (batch, head, q-tile); wraparound is fine
@@ -290,6 +297,7 @@ def _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
             jax.ShapeDtypeStruct((b, tq_pad, c), q.dtype),
             jax.ShapeDtypeStruct((b, num_heads, tq_pad), jnp.float32),
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(seed, qp, kp, vp, biasp[:, None, :])
     o = o[:, :tq_len, :]
@@ -346,6 +354,7 @@ def _bwd_rule(num_heads, rate, causal, scale, interpret, block_q, use_bias,
             jax.ShapeDtypeStruct((b, tk_pad, c), k.dtype),
             jax.ShapeDtypeStruct((b, tk_pad, c), v.dtype),
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(seed, qp, kp, vp, biasp[:, None, :], lse, dop, op)
     dq = dq[:, :tq_len, :]
