@@ -42,9 +42,12 @@ _PEAK_BF16 = {
 
 def _peak_flops(device) -> float:
     kind = getattr(device, "device_kind", "")
-    for k, v in _PEAK_BF16.items():
+    # longest key first: 'TPU v5 lite' (v5e) must not match the 'TPU v5'
+    # (v5p) entry — a prefix scan in insertion order deflated round-2's
+    # reported MFU by 2.33x (ADVICE.md round 2)
+    for k in sorted(_PEAK_BF16, key=len, reverse=True):
         if kind.startswith(k):
-            return v
+            return _PEAK_BF16[k]
     log("unknown device kind %r; assuming v5e peak 197 TFLOP/s" % kind)
     return 197e12
 
@@ -65,7 +68,11 @@ def train_step_matmul_flops(hp, b, t_in, t_out) -> float:
         8 * b * t_out * hd ** 2          # self qkv + out
         + 4 * b * t_out ** 2 * hd        # causal self-attention
         + 4 * b * t_out * hd ** 2        # cross q + out
-        + 4 * b * t_in * hd ** 2         # cross kv (over memory)
+        # cross kv: the decoder memory is enc(he) ++ spk ++ lang = hd wide
+        # (tacotron.py memory concat; modules.py enforces width == hd), and
+        # kv_transform maps it to 2*hd, so the term is 4*b*t_in*hd^2 — NOT
+        # he*hd as ADVICE.md round 2 suggested (that misses the concat).
+        + 4 * b * t_in * hd ** 2
         + 4 * b * t_out * t_in * hd      # cross logits + context
         + 16 * b * t_out * hd ** 2)      # ffn
     p = hp.prenet_hidden
@@ -133,6 +140,12 @@ def main():
         model, hp, jax.random.PRNGKey(0),
         device_batch(_example_batch(hp, b=4, t_in=64, t_out=128)))
 
+    # Host snapshot: the timed step donates the state, so a failed shape
+    # (e.g. OOM after dispatch) may invalidate the live buffers; restore from
+    # the snapshot so later shapes and the decode diagnostic stay valid
+    # (ADVICE.md round 2).
+    state_host = jax.device_get(state)
+
     best = None
     for name, b, t_in, t_out in shapes:
         batch = _example_batch(hp, b=b, t_in=t_in, t_out=t_out)
@@ -140,6 +153,7 @@ def main():
             state, dur, loss = _time_train_shape(model, hp, mesh, state, batch)
         except Exception as e:
             log("  shape %s (B=%d,%d,%d) failed: %r" % (name, b, t_in, t_out, e))
+            state = jax.device_put(state_host)
             continue
         frames = int(np.sum(batch["target_lengths"]))
         audio_s = frames * hp.frame_shift_ms / 1000.0

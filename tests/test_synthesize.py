@@ -166,3 +166,40 @@ def test_vocode_batch_matches_numpy_path(model_and_vars):
     e2 = np.sqrt(np.convolve(ref[:n] ** 2, np.ones(400) / 400, "valid"))
     corr = np.corrcoef(e1, e2)[0, 1]
     assert corr > 0.9, corr
+
+
+def test_decode_self_alignments_match_teacher_forced(model_and_vars):
+    """collect_self_alignments=True returns the decoder self-attention in the
+    reference's [B, H, T_mem, T_query] layout; with deterministic decode the
+    rows must equal the teacher-forced self-attention over the generated mels
+    (same check shape as the incremental-decode parity test; ADVICE.md r2)."""
+    m, variables = model_and_vars
+    batch = make_input_batch()
+    out = synthesize_batch(m, variables, batch, HP, deterministic=True,
+                           max_frames=16, collect_self_alignments=True)
+    gen = out["mel_pre"]
+    n = gen.shape[1]
+    lengths = np.minimum(np.asarray(out["generated_lengths"]), n)
+
+    tf_out = m.apply(variables,
+                     inputs=jnp.asarray(batch["inputs"]),
+                     input_lengths=jnp.asarray(batch["input_lengths"]),
+                     mel_targets=jnp.asarray(gen),
+                     target_lengths=jnp.asarray(lengths, jnp.int32),
+                     input_spk_ids=jnp.asarray(batch["input_spk_ids"]),
+                     input_language_vecs=jnp.asarray(
+                         batch["input_language_vecs"]),
+                     train=False, collect_alignments=True)
+    self_dec = out["alignments"]["self"]        # list/layer of [B,H,mem,q]
+    assert len(self_dec) == HP.n_decoder_layer
+    for layer in range(HP.n_decoder_layer):
+        tf_a = np.asarray(tf_out["alignments"]["self"][layer])  # [B,H,mem,q]
+        dec_a = self_dec[layer]
+        for b in range(gen.shape[0]):
+            l = int(lengths[b])
+            # causal rows: each query q attends over mem <= q
+            np.testing.assert_allclose(dec_a[b, :, :l, :l],
+                                       tf_a[b, :, :l, :l], atol=2e-4)
+        # rows are normalized over the causal prefix
+        col = dec_a[0, 0, :int(lengths[0]), int(lengths[0]) - 1]
+        assert col.sum() == pytest.approx(1.0, abs=1e-3)
