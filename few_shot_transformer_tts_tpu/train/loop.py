@@ -278,7 +278,27 @@ def train(args, hp: Config):
 
     global_step = 0
     if args.restore_from:
-        state = ckpt_lib.load_state(args.restore_from, state)
+        from .converter import is_reference_checkpoint, \
+            load_reference_checkpoint
+        if is_reference_checkpoint(args.restore_from):
+            # tier warm start from a reference torch checkpoint: import
+            # params + batch stats + Adam moments + schedule step (the
+            # reference protocol restores optim and sched with the model —
+            # reference train.py:134-148, utils/checkpoint.py:28-34)
+            variables, opt_state, step = load_reference_checkpoint(
+                args.restore_from, tx=tx, params_template=state.params)
+            cast = lambda t, n: np.asarray(n, dtype=t.dtype)  # host-side:
+            # jnp.asarray would tunnel each leaf to the TPU here; the first
+            # jitted step uploads the whole state in one transfer instead
+            state = state.replace(
+                step=jnp.asarray(int(step or 0), jnp.int32),
+                params=jax.tree.map(cast, state.params, variables["params"]),
+                opt_state=opt_state,
+                batch_stats=jax.tree.map(cast, state.batch_stats,
+                                         variables.get("batch_stats", {}))
+                if variables.get("batch_stats") else state.batch_stats)
+        else:
+            state = ckpt_lib.load_state(args.restore_from, state)
         global_step = int(state.step)
         logging.info("Restore from %s, step %d", args.restore_from, global_step)
     latest = ckpt_lib.find_ckpt(model_dir)
