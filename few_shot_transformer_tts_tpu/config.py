@@ -116,6 +116,11 @@ class Config:
     # Use Pallas kernels for attention where applicable (falls back to the jnp
     # reference path automatically on CPU).
     use_pallas_attention: bool = True
+    # Fused per-frame decoder kernel for deterministic AR synthesis
+    # (ops/pallas_decode.py): one Pallas call per frame runs all decoder
+    # layers and streams only the <=step KV-cache prefix.  Dropout-on decode
+    # and self-alignment collection automatically fall back to the XLA path.
+    use_pallas_decode: bool = True
     # Single-pass fused Adam update kernel (ops/fused_adam.py).  Default OFF:
     # measured SLOWER than the optax chain on v5e (30.1 vs 29.0 ms/step) --
     # XLA fuses the Adam update into the weight-gradient matmul epilogues,

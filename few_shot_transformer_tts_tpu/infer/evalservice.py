@@ -149,7 +149,7 @@ def main(args, hp: Config):
             (template_batch["inputs"].shape[0], 8, hp.num_mels), np.float32)
         template_batch["target_lengths"] = np.full(
             (template_batch["inputs"].shape[0],), 8, np.int32)
-    state_template = create_state(model, hp, jax.random.PRNGKey(0),
+    state_template = create_state(model, hp, 0,
                                   template_batch)
 
     if hp.multi_lingual:

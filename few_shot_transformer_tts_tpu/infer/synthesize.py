@@ -46,20 +46,43 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("model", "max_frames", "deterministic",
-                     "collect_alignments", "collect_self_alignments"))
+                     "collect_alignments", "collect_self_alignments",
+                     "use_fused", "fused_interpret"))
 def _decode_loop(model: ByteToMel, variables, inputs, input_lengths,
                  input_spk_ids, input_language_vecs, rng,
                  max_frames: int, deterministic: bool,
-                 collect_alignments: bool, collect_self_alignments: bool):
+                 collect_alignments: bool, collect_self_alignments: bool,
+                 use_fused: bool = False, fused_interpret: bool = False):
     hp = model.hp
     b, t_in = inputs.shape
     n_layers = hp.n_decoder_layer
     heads = hp.n_attention_head
 
+    if model.dtype == jnp.bfloat16:
+        # Pre-cast matmul weights to bf16 once, outside the while loop.  The
+        # flax modules cast per use, and XLA does not reliably hoist the
+        # converts out of the loop: profiled at ~92 MB of decoder weights
+        # re-read per frame — in fp32 that doubles the dominant HBM traffic
+        # of the decode step.  LN/BN scale-bias, pe_scale, and embeddings
+        # stay fp32 (norm math is fp32 by convention).
+        def _cast(path, p):
+            if p.ndim >= 2 and p.dtype == jnp.float32 and \
+                    path[-1].key in ("kernel", "embedding"):
+                return p.astype(jnp.bfloat16)
+            return p
+        variables = dict(variables)
+        variables["params"] = jax.tree_util.tree_map_with_path(
+            _cast, variables["params"])
+
     enc, memory_kv = model.apply(
         variables, inputs, input_lengths, input_spk_ids, input_language_vecs,
         method=ByteToMel.encode)
     memory_bias = padding_bias(length_mask(input_lengths, t_in))
+    if use_fused:
+        return _fused_frames_loop(
+            model, variables, enc, memory_bias, rng,
+            max_frames=max_frames, collect_alignments=collect_alignments,
+            interpret=fused_interpret)
     cache = model.apply(variables, b, max_frames,
                         method=ByteToMel.init_decode_cache)
 
@@ -131,6 +154,121 @@ def _decode_loop(model: ByteToMel, variables, inputs, input_lengths,
     return mels, mel_aft, target_lengths, aligns, self_aligns, n_steps
 
 
+def _fused_frames_loop(model: ByteToMel, variables, enc, memory_bias,
+                       rng, *, max_frames: int, collect_alignments: bool,
+                       interpret: bool):
+    """AR decode with the fused per-layer Pallas kernel
+    (ops/pallas_decode.decoder_frame_step): one kernel call per frame runs all
+    decoder layers, streaming only the <=step cache prefix.  Deterministic
+    (dropout-off) decode only; the XLA path handles dropout-on sampling and
+    self-alignment collection."""
+    from ..models.common import NEG_INF
+    from ..ops import pallas_decode as pdec
+
+    hp = model.hp
+    n_layers, heads = hp.n_decoder_layer, hp.n_attention_head
+    b = memory_bias.shape[0]
+    t_in = memory_bias.shape[-1]
+    cdt = model.dtype
+    stacked = pdec.stack_decoder_params(
+        variables["params"]["decoder"]["decoder"], n_layers)
+    mem_k, mem_v = pdec.project_memory(enc, stacked["w_kv"], cdt)
+    t_mem = mem_k.shape[2]
+    bias_vec = memory_bias[:, 0, 0, :].astype(jnp.float32)
+    if t_mem != t_in:
+        bias_vec = jnp.pad(bias_vec, ((0, 0), (0, t_mem - t_in)),
+                           constant_values=NEG_INF)
+    cap = pdec.padded_cap(max_frames)
+    pe_scale = variables["params"]["decoder"]["decoder"]["pe_scale"]
+    cache_shape = (n_layers, b, cap, hp.decoder_hidden)
+
+    from ..models.common import sinusoid_position_encoding
+    pe = sinusoid_position_encoding(max_frames, hp.decoder_hidden)
+
+    mels_buf = jnp.zeros((b, max_frames, hp.num_mels), jnp.float32)
+    align_dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    align_buf = jnp.zeros(
+        (n_layers, b, heads, max_frames if collect_alignments else 1, t_in),
+        align_dt)
+
+    def cond(state):
+        step, finished = state[0], state[1]
+        return jnp.logical_and(step < max_frames,
+                               jnp.logical_not(jnp.all(finished)))
+
+    def body(state):
+        (step, finished, target_lengths, prev_mel, mels, aligns, ck, cv) = state
+
+        def step_fn(mdl):
+            x = mdl.decoder.prenet(prev_mel.astype(mdl.dtype),
+                                   deterministic=True)
+            x = jnp.where(finished[:, None], 0.0, x)
+            pe_row = jax.lax.dynamic_index_in_dim(
+                pe, step, axis=0, keepdims=False).astype(x.dtype)
+            x = x + pe_row * pe_scale.astype(x.dtype)
+            xo, align, kn, vn = pdec.decoder_frame_step(
+                x.astype(jnp.float32), step, stacked, ck, cv, mem_k, mem_v,
+                bias_vec, num_heads=heads, interpret=interpret)
+            out = mdl.decoder.decoder.output_layer_norm(xo.astype(mdl.dtype))
+            mel = mdl.decoder.mel_net(out).astype(jnp.float32)
+            stop = mdl.decoder.stop_net(out)[..., 0].astype(jnp.float32)
+            return mel, stop, align, kn, vn
+
+        mel_t, stop_t, align_t, kn, vn = model.apply(variables, method=step_fn)
+        ck = jax.lax.dynamic_update_slice(
+            ck, kn[:, :, None, :].astype(ck.dtype), (0, 0, step, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, vn[:, :, None, :].astype(cv.dtype), (0, 0, step, 0))
+        mels = jax.lax.dynamic_update_index_in_dim(mels, mel_t, step, axis=1)
+        if collect_alignments:
+            # kernel emits [L, B, TmP, H]; buffer wants [L, B, H, t_in]
+            a = align_t.transpose(0, 1, 3, 2)[:, :, :, :t_in]
+            aligns = jax.lax.dynamic_update_index_in_dim(
+                aligns, a.astype(aligns.dtype), step, axis=3)
+        finished = jnp.logical_or(finished, stop_t > 0)
+        target_lengths = jnp.where(finished, target_lengths,
+                                   target_lengths + 1)
+        return (step + 1, finished, target_lengths, mel_t, mels, aligns,
+                ck, cv)
+
+    init = (jnp.asarray(0, jnp.int32),
+            jnp.zeros((b,), jnp.bool_),
+            jnp.ones((b,), jnp.int32),
+            jnp.zeros((b, hp.num_mels), jnp.float32),
+            mels_buf, align_buf,
+            jnp.zeros(cache_shape, cdt), jnp.zeros(cache_shape, cdt))
+    (n_steps, finished, target_lengths, _, mels, aligns, _, _) = \
+        jax.lax.while_loop(cond, body, init)
+
+    residual = model.apply(variables, mels, target_lengths,
+                           method=ByteToMel.postnet_residual)
+    self_buf = jnp.zeros((n_layers, b, heads, 1, 1), align_dt)
+    return mels, mels + residual, target_lengths, aligns, self_buf, n_steps
+
+
+def prepare_decode_inputs(batch: Dict[str, Any], hp: Config):
+    """Pad a synthesis batch onto the shape lattice (T_in and B rounded up so
+    repeated calls reuse compiled kernels).  Returns (inputs [Bp, Tp] int32,
+    input_lengths [Bp], spk_ids [Bp], language_vecs [Bp, L])."""
+    inputs = np.asarray(batch["inputs"])
+    b, t_in = inputs.shape
+    t_pad = _round_up(max(t_in, 1), hp.input_length_multiple)
+    b_pad = _round_up(b, hp.batch_size_multiple)
+    inputs_p = np.zeros((b_pad, t_pad), np.int32)
+    inputs_p[:b, :t_in] = inputs
+    input_lengths = np.zeros((b_pad,), np.int32)
+    input_lengths[:b] = np.asarray(batch["input_lengths"])
+    # padded rows get length 1 to keep softmax well-defined; they stop on cap
+    input_lengths[b:] = 1
+    spk = np.zeros((b_pad,), np.int32)
+    if batch.get("input_spk_ids") is not None:
+        spk[:b] = np.asarray(batch["input_spk_ids"], np.int32)
+    lvec = np.zeros((b_pad, hp.max_num_language), np.float32)
+    if batch.get("input_language_vecs") is not None:
+        lvec[:b] = np.asarray(batch["input_language_vecs"], np.float32)
+    return inputs_p, input_lengths, spk, lvec
+
+
 def synthesize_batch(model: ByteToMel, variables, batch: Dict[str, Any],
                      hp: Config, deterministic: bool = False,
                      rng: Optional[jax.Array] = None,
@@ -149,32 +287,29 @@ def synthesize_batch(model: ByteToMel, variables, batch: Dict[str, Any],
     tic = time.time()
     inputs = np.asarray(batch["inputs"])
     b, t_in = inputs.shape
-    # shape lattice: pad T_in and B so repeated calls reuse compiled kernels
-    t_pad = _round_up(max(t_in, 1), hp.input_length_multiple)
-    b_pad = _round_up(b, hp.batch_size_multiple)
-    inputs_p = np.zeros((b_pad, t_pad), np.int32)
-    inputs_p[:b, :t_in] = inputs
-    input_lengths = np.zeros((b_pad,), np.int32)
-    input_lengths[:b] = np.asarray(batch["input_lengths"])
-    # padded rows get length 1 to keep softmax well-defined; they stop on cap
-    input_lengths[b:] = 1
-    spk = np.zeros((b_pad,), np.int32)
-    if batch.get("input_spk_ids") is not None:
-        spk[:b] = np.asarray(batch["input_spk_ids"], np.int32)
-    lvec = np.zeros((b_pad, hp.max_num_language), np.float32)
-    if batch.get("input_language_vecs") is not None:
-        lvec[:b] = np.asarray(batch["input_language_vecs"], np.float32)
+    inputs_p, input_lengths, spk, lvec = prepare_decode_inputs(batch, hp)
 
     if rng is None:
         rng = jax.random.PRNGKey(int(time.time() * 1e6) % (2 ** 31))
     cap = int(max_frames or hp.max_generation_frames)
+
+    # Fused Pallas decode (ops/pallas_decode.py) covers the deterministic
+    # path; dropout-on sampling (the reference's eval-service mode) and
+    # self-alignment collection use the XLA decode_step path.
+    on_tpu = jax.default_backend() == "tpu"
+    fused_interpret = (not on_tpu) and \
+        os.environ.get("FSTTS_PALLAS_INTERPRET") == "1"
+    use_fused = bool(hp.use_pallas_decode and deterministic and
+                     not collect_self_alignments and
+                     (on_tpu or fused_interpret))
 
     mels, mel_aft, target_lengths, aligns, self_aligns, n_steps = _decode_loop(
         model, variables, jnp.asarray(inputs_p), jnp.asarray(input_lengths),
         jnp.asarray(spk), jnp.asarray(lvec), rng,
         max_frames=cap, deterministic=deterministic,
         collect_alignments=collect_alignments,
-        collect_self_alignments=collect_self_alignments)
+        collect_self_alignments=collect_self_alignments,
+        use_fused=use_fused, fused_interpret=fused_interpret)
 
     mels = np.asarray(mels)[:b]
     mel_aft = np.asarray(mel_aft)[:b]

@@ -12,11 +12,14 @@ TPU-first additions the reference does not have:
     caches, turning the reference's O(T^3) full-prefix re-forward
     (reference synthesize.py:35-54) into O(T^2) decode;
   * bf16 matmuls with fp32 softmax/accumulation (MXU-friendly);
-  * fused Pallas attention kernels for the full-sequence path when no
+  * a fused Pallas attention kernel for the full-sequence path when no
     alignment tensor is requested: ops/pallas_attention_train.py (packed
     layout, in-kernel dropout, custom flash backward; also serves eval with
-    rate=0) and ops/pallas_attention.py (blocked online-softmax fallback for
-    >2048 keys).
+    rate=0).  Sequences beyond its 2048-key whole-K window fall back to the
+    jnp path — the data layer caps sequences at ~1000/1100 (reference
+    hyperparams.py:19,21), so no long-form kernel is kept (a blocked
+    online-softmax variant was built, never reachable at parity configs, and
+    removed in round 3; see README "parity and deliberate divergences").
 """
 
 from __future__ import annotations
@@ -77,9 +80,12 @@ class MultiheadAttention(nn.Module):
         depth = self.key_size // self.num_heads
         on_tpu = jax.default_backend() == "tpu"
         # FSTTS_PALLAS_INTERPRET=1 exercises the kernel branch on CPU via the
-        # Pallas interpreter (used by the test suite).  Deterministic only:
-        # the interpreter has no lowering for the TPU PRNG (prng_seed).
-        interpret = (not on_tpu) and deterministic and \
+        # Pallas interpreter (used by the test suite).  Only when no dropout
+        # mask is needed: the interpreter has no lowering for the TPU PRNG
+        # (prng_seed) — rate 0 covers both eval and SPMD train-step tests
+        # with transformer_dropout_rate=0.
+        interpret = (not on_tpu) and \
+            (deterministic or self.dropout_rate == 0.0) and \
             os.environ.get("FSTTS_PALLAS_INTERPRET") == "1"
 
         if self.use_pallas and not need_align and (on_tpu or interpret) and \
@@ -114,22 +120,16 @@ class MultiheadAttention(nn.Module):
         v = split_heads(v, self.num_heads)
         q = q * (depth ** -0.5)
 
-        if self.use_pallas and not need_align and deterministic and on_tpu:
-            # long-sequence fallback: blocked online-softmax kernel
-            from ..ops.pallas_attention import flash_attention
-            ctx = flash_attention(q, k, v, bias)
-            align = None
-        else:
-            logits = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k,
-                preferred_element_type=jnp.float32).astype(jnp.float32)
-            if bias is not None:
-                logits = logits + bias
-            weights = jax.nn.softmax(logits, axis=-1)
-            align = weights.transpose(0, 1, 3, 2) if need_align else None
-            weights = self.attn_dropout(weights, deterministic=deterministic)
-            ctx = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(self.dtype), v,
-                             preferred_element_type=jnp.float32)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k,
+            preferred_element_type=jnp.float32).astype(jnp.float32)
+        if bias is not None:
+            logits = logits + bias
+        weights = jax.nn.softmax(logits, axis=-1)
+        align = weights.transpose(0, 1, 3, 2) if need_align else None
+        weights = self.attn_dropout(weights, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(self.dtype), v,
+                         preferred_element_type=jnp.float32)
 
         x = combine_heads(ctx.astype(self.dtype))
         return self.output_transform(x), align

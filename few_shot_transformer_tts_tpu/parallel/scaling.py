@@ -39,7 +39,7 @@ def measure(hp, per_device_batch: int, t_in: int, t_out: int,
         mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
         batch = _example_batch(hp, b=per_device_batch * n, t_in=t_in,
                                t_out=t_out)
-        state = create_state(model, hp, jax.random.PRNGKey(0),
+        state = create_state(model, hp, 0,
                              device_batch(batch))
         step = make_train_step(model, hp, mesh=mesh, donate=True)
         dbatch = shard_batch(device_batch(batch), mesh)

@@ -59,15 +59,24 @@ def create_state(model: ByteToMel, hp: Config, rng, sample_batch: Dict,
                  init_on_cpu: bool = True) -> TrainState:
     """Initialize the train state.  Init runs on the host CPU backend by
     default — compiling the init program for the accelerator is pure overhead
-    (minutes on a tunneled chip); the first train step transfers the state."""
+    (minutes on a tunneled chip); the first train step transfers the state.
+
+    ``rng`` may be an int seed (preferred: the PRNG key is then built on the
+    init device) or a PRNG key array.  A key that lives on the accelerator is
+    copied to the CPU first — using it directly would embed a device-resident
+    constant in the jitted init and stall lowering on a device fetch.
+    """
     tx = tx or make_optimizer(hp)
     # init runs on CPU where the Pallas kernels can't lower; the param tree is
     # identical either way
     init_model = ByteToMel(hp.replace(use_pallas_attention=False))
 
-    def _init():
+    # One jitted program: eager init compiles hundreds of per-primitive CPU
+    # executables (~minutes on a 2-CPU host with a cold jax compile cache)
+    @jax.jit
+    def _init(key):
         return init_model.init(
-            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            {"params": key, "dropout": jax.random.fold_in(key, 1)},
             inputs=jnp.asarray(sample_batch["inputs"]),
             input_lengths=jnp.asarray(sample_batch["input_lengths"]),
             mel_targets=jnp.asarray(sample_batch["mel_targets"]),
@@ -87,10 +96,13 @@ def create_state(model: ByteToMel, hp: Config, rng, sample_batch: Dict,
             cpu = None
     if cpu is not None and jax.default_backend() != "cpu":
         with jax.default_device(cpu):
-            variables = _init()
+            key = jax.random.PRNGKey(rng) if isinstance(rng, int) \
+                else jax.device_put(rng, cpu)
+            variables = _init(key)
             opt_state = tx.init(variables["params"])
     else:
-        variables = _init()
+        key = jax.random.PRNGKey(rng) if isinstance(rng, int) else rng
+        variables = _init(key)
         opt_state = tx.init(variables["params"])
     return TrainState(step=jnp.asarray(0, jnp.int32),
                       params=variables["params"],
@@ -273,7 +285,7 @@ def train(args, hp: Config):
     # silently diverged from a fresh run's (VERDICT round 2, weak #7).  Shapes
     # are all init needs; the lattice makes them representative.
     sample_batch = _bootstrap_batch(hp)
-    state = create_state(model, hp, jax.random.PRNGKey(0),
+    state = create_state(model, hp, 0,
                          device_batch(sample_batch), tx)
 
     global_step = 0

@@ -74,7 +74,7 @@ def _load_native(model, hp, feeder, path):
         b = probe['inputs'].shape[0]
         probe['mel_targets'] = np.zeros((b, 8, hp.num_mels), np.float32)
         probe['target_lengths'] = np.full((b,), 8, np.int32)
-    template = create_state(model, hp, jax.random.PRNGKey(0), probe)
+    template = create_state(model, hp, 0, probe)
     state = ckpt_lib.load_state(path, template)
     return {'params': state.params, 'batch_stats': state.batch_stats}
 

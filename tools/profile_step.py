@@ -53,7 +53,7 @@ def capture(out_dir: str, steps: int, decode: bool = False) -> None:
     model = ByteToMel(hp)
     batch = _example_batch(hp, b=16, t_in=192, t_out=448)
     mesh = make_mesh(data=-1, model=1)
-    state = create_state(model, hp, jax.random.PRNGKey(0),
+    state = create_state(model, hp, 0,
                          device_batch(batch))
 
     if decode:
