@@ -48,6 +48,8 @@ def build_parser():
 
 
 if __name__ == '__main__':
+    from few_shot_transformer_tts_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # JAX_PLATFORMS env is ignored by the TPU plugin here
     args, unparsed = build_parser().parse_known_args()
     print('unparsed:', unparsed)
     hp = default_config().parse(args.hparams)

@@ -118,9 +118,16 @@ class Config:
     use_pallas_attention: bool = True
     # Fused per-frame decoder kernel for deterministic AR synthesis
     # (ops/pallas_decode.py): one Pallas call per frame runs all decoder
-    # layers and streams only the <=step KV-cache prefix.  Dropout-on decode
-    # and self-alignment collection automatically fall back to the XLA path.
-    use_pallas_decode: bool = True
+    # layers and streams only the <=step KV-cache prefix.  Default OFF:
+    # measured SLOWER than the XLA KV-cache decode on v5e at the flagship
+    # shape (fetch-timed device-side, B=8, 512-frame cap: fused 0.222 s vs
+    # XLA 0.203 s per decode; tools/tpu_decode_check.py) — the XLA while_loop
+    # body is already launch-bound, so saving cache-prefix HBM reads does not
+    # pay for the kernel's per-block VPU work.  Kept as a parity-tested option
+    # (bf16 on-chip parity 0.09 max mel diff over 512 AR frames); dropout-on
+    # decode, self-alignment collection, and non-128-multiple decoder widths
+    # fall back to the XLA path automatically.
+    use_pallas_decode: bool = False
     # Single-pass fused Adam update kernel (ops/fused_adam.py).  Default OFF:
     # measured SLOWER than the optax chain on v5e (30.1 vs 29.0 ms/step) --
     # XLA fuses the Adam update into the weight-gradient matmul epilogues,

@@ -22,6 +22,14 @@ TPU v5 lite chip, flagship config, B=8, 512-frame cap):
     (fp32); nothing per-frame round-trips HBM except the per-layer weight
     stream, the cache prefix, and the tiny kernel outputs.
 
+Measured outcome (v5e, flagship dims, B=8, 512-frame cap, fetch-timed
+device-side via tools/tpu_decode_check.py): v2 closed v1's 1.8x gap but still
+trails the XLA KV-cache path slightly — 0.222 s vs 0.203 s per decode — so
+``use_pallas_decode`` defaults to OFF (config.py) and the kernel remains a
+parity-tested option.  The XLA while-loop body is already small enough that
+the saved cache-prefix HBM traffic does not pay for the kernel's per-block
+VPU work at these shapes.
+
 Design notes (the first cut was SLOWER than the XLA path — 611 vs 339
 us/frame — for two measured reasons, both fixed here):
 
@@ -47,8 +55,10 @@ relayouts.
 Numerics follow the repo convention: matmuls in the param dtype (bf16 on TPU)
 with fp32 accumulation, LN/softmax statistics in fp32.  The fp32 residual
 stream is a deliberate (strictly tighter) divergence from the XLA path's
-bf16 residuals; parity is tested in fp32 configs at 1e-5 and on-chip in bf16
-at bf16 tolerances (tests/test_pallas_decode.py).
+bf16 residuals; parity is tested in fp32 configs at 1e-5 through the
+interpreter (tests/test_pallas_decode.py) and on-chip in bf16 at flagship
+dims against the XLA path (tests/test_tpu_chip.py, subprocess off the forced
+CPU mesh; 0.09 max mel diff over 512 AR frames).
 
 Dropout-on decode (the reference's ``m.eval(); m.decoder.train()`` sampling
 mode) and self-alignment collection keep the XLA path — see the dispatch in

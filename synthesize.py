@@ -12,6 +12,8 @@ import os
 
 
 def main():
+    from few_shot_transformer_tts_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # JAX_PLATFORMS env is ignored by the TPU plugin here
     parser = argparse.ArgumentParser()
     parser.add_argument('--checkpoint', required=True,
                         help='model.ckpt-<step> file (native or reference torch)')
