@@ -62,8 +62,16 @@ class Config:
     use_sos: bool = True
     bucket_size: int = 512
     shuffle_training_data: bool = True
-    batch_frame_limit: int = 8000
-    batch_frame_quad_limit: int = 7000000
+    # Packing budgets: 2x the reference's GPU-VRAM-era values (reference
+    # hyperparams.py:41-42 ships 8000 / 7e6).  Swept on v5e over the real
+    # feeder shape lattice (Tout 256..1024 at budget-implied B; see
+    # SWEEP_PACKING.json / tools/packing_sweep.py): throughput is nearly
+    # budget-flat (means 2323 / 2335 / 2296 audio_s/s/chip at 1x/2x/4x), but
+    # the reference budget drops to B=6 — below the B=8 batch lattice — at
+    # the Tout=1024 tail, where 2x keeps B=8 and wins 2395 vs 2094
+    # audio_s/s/chip.  16 GB HBM holds the 2x batches with headroom.
+    batch_frame_limit: int = 16000
+    batch_frame_quad_limit: int = 14000000
     balanced_training: bool = True
     lg_prob_scale: float = 0.2
     adapt_start_step: int = 30000

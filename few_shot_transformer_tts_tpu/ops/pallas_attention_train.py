@@ -39,6 +39,26 @@ skipped the fully-masked causal future was benchmarked and REJECTED: at the
 reference's sequence lengths (<=~1000) the online rescale bookkeeping costs
 more than the ~40% skipped area saves (1.99 ms vs 1.41 ms fwd+bwd at
 B=16, T=448, H=8, D=768).  Whole-K with block_q = min(512, Tq_pad) wins.
+
+Round-4 speed-of-light audit (SOL_r04.json; measured on-chip, flagship
+shapes, fetch-timed paired-count estimator):
+
+  * The kernel's rectangle VPU work is NOT the residual: a stripped variant
+    doing only the two MXU matmuls runs 0.090 ms/fwd-call while the same
+    variant with the full causal-mask+max+exp+sum+div chain runs 0.077 ms
+    (noise-level) — the VPU pipeline overlaps the MXU, so the round-2
+    "bf16 score storage" and "fused bias+exp" ideas are REJECTED: there is
+    no serial VPU time to save.
+  * Dropout PRNG + mask costs 0.035 ms of the 0.188 ms fwd call at rate 0.1
+    (~0.6 ms/step across 18 calls) — kept; regeneration in the backward is
+    what keeps the mask out of HBM.
+  * Padding K/V time to 8 instead of 128 was tried and REJECTED: 0.508 vs
+    0.520 ms fwd+bwd at T=448 (-2%, noise) but 0.171 vs 0.149 ms at T=192
+    (+15% — Mosaic handles the 1.5x128-lane misalignment worse than the
+    aligned 33% extra work).
+  * Remaining gap to the composite bound (~0.34 ms fwd+bwd vs 0.55
+    measured) sits in Mosaic layout handling of the per-head 96-lane
+    slices, not in removable ops.
 """
 
 from __future__ import annotations

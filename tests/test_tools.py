@@ -1,0 +1,41 @@
+"""Unit tests for the measurement tooling that feeds committed artifacts
+(tools/packing_sweep.py budget math, parallel/scaling.py strong mode)."""
+
+import numpy as np
+
+from few_shot_transformer_tts_tpu.config import default_config, \
+    small_test_config
+
+
+def test_implied_b_matches_feeder_packing_rule():
+    """implied_b replicates data/feeder.py _pack_into_batches: B bounded by
+    the frame limit (B*Tout) and the quad proxy (B*(Tin^2+Tout^2)), floored
+    to the batch lattice."""
+    from tools.packing_sweep import implied_b
+    # frame-limit binding: 16000/1024 = 15.6 -> 15; quad allows only 12 -> 8
+    assert implied_b(16000, 14_000_000, 256, 1024) == 8
+    # frame-limit binding at short Tout: 16000/256 = 62 -> 56 (lattice of 8)
+    assert implied_b(16000, 14_000_000, 64, 256) == 56
+    # below one lattice multiple: keep the raw B (the feeder emits it padded)
+    assert implied_b(8000, 7_000_000, 256, 1024) == 6
+
+
+def test_bench_scan_shapes_respect_shipped_budgets():
+    from tools.packing_sweep import implied_b
+    hp = default_config()
+    for t_out in (256, 448, 832, 1024):
+        t_in = -(-t_out // 4 // 32) * 32
+        b = implied_b(hp.batch_frame_limit, hp.batch_frame_quad_limit,
+                      t_in, t_out, b_mult=hp.batch_size_multiple)
+        assert b * t_out <= hp.batch_frame_limit
+        assert b * (t_in ** 2 + t_out ** 2) <= hp.batch_frame_quad_limit
+
+
+def test_scaling_strong_mode_fixes_global_batch():
+    from few_shot_transformer_tts_tpu.parallel.scaling import measure
+    hp = small_test_config(n_iter=2, max_generation_frames=8)
+    res = measure(hp, per_device_batch=2, t_in=8, t_out=8, degrees=[1, 2],
+                  steps=2, mode="strong")
+    assert [r["batch"] for r in res] == [4, 4]  # 2 * max(degrees), fixed
+    assert res[0]["efficiency"] == 1.0
+    assert all(np.isfinite(r["sec_per_step"]) for r in res)

@@ -40,3 +40,12 @@ def test_fused_decode_parity_on_chip():
     out = _run_tool("tpu_decode_check.py", "--frames", "64", "--skip-timing")
     assert out["ok"], out
     assert out["max_abs_diff"] < 0.25, out
+
+
+def test_pallas_attention_train_step_under_mesh_on_chip():
+    """The custom-VJP Pallas training-attention kernel executes inside the
+    partitioned jitted train step over a real device mesh, with finite and
+    decreasing loss (flagship config, bf16)."""
+    out = _run_tool("tpu_train_check.py", "--steps", "4")
+    assert out["ok"], out
+    assert out["use_pallas_attention"] is True

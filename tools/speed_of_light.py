@@ -1,0 +1,254 @@
+"""Train-step speed-of-light table: where the non-MFU time goes.
+
+Round-3 VERDICT weak #3: the step sits at ~56% analytic-matmul MFU and the
+residual was never attributed.  This tool produces the accounting:
+
+  1. Captures a per-op device-time profile of the flagship train step
+     (tools/profile_step.py machinery).
+  2. Measures the chip's ACHIEVED rooflines with microbenches: a large bf16
+     matmul (MXU) and a fused fp32 elementwise chain with exp (VPU) — more
+     defensible than quoting spec sheets.
+  3. Bounds each profile category: XLA matmul fusions against the analytic
+     matmul FLOPs at the achieved MXU rate; the Pallas attention kernel
+     against its counted VPU elementwise passes at the achieved VPU rate;
+     and names the remainder (LN-backward reductions, convolutions, copies,
+     PRNG) with their measured times.
+
+Writes SOL_r04.json and prints the table.  Run on the chip:
+    python tools/speed_of_light.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _rate(run, work_per_iter, n_small, n_big, tries=5):
+    """Achieved work/second of ``run(n)`` (n loop iterations, jitted with a
+    static trip count): paired-count difference with a tiny fetch, MEDIAN
+    over tries.  Single-call wall timing is useless here — the tunneled
+    chip's dispatch RTT (hundreds of ms) dwarfs millisecond kernels; and a
+    MIN over paired diffs biases the rate up whenever the extra-iteration
+    signal is comparable to the RTT jitter (an early cut 'measured' 1300
+    TFLOP/s on a 197 TFLOP/s part that way).  Callers size n_big so the
+    signal is hundreds of ms."""
+    import statistics
+    import jax
+
+    def timed(n):
+        tic = time.time()
+        out = run(n)
+        float(jax.tree.leaves(out)[0].ravel()[0])
+        return time.time() - tic
+
+    timed(n_small), timed(n_big)  # compile both trip counts
+    diffs = []
+    for _ in range(tries):
+        d = (timed(n_big) - timed(n_small)) / (n_big - n_small)
+        if d > 0:
+            diffs.append(d)
+    assert diffs, "all tries hit contention spikes"
+    return work_per_iter / statistics.median(diffs)
+
+
+def measure_mxu_roofline():
+    """Achieved bf16 matmul FLOP/s on a large square matmul (~400 extra
+    iterations x 137 GFLOP ~ 300 ms of signal at spec peak)."""
+    import jax
+    import jax.numpy as jnp
+    import functools
+    n = 4096
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(reps, x, y):
+        def body(_, c):
+            return y @ c
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    x = jnp.ones((n, n), jnp.bfloat16)
+    y = jnp.ones((n, n), jnp.bfloat16) * 0.001
+    return _rate(lambda r: run(r, x, y), 2.0 * n * n * n,
+                 n_small=8, n_big=408)
+
+
+def measure_vpu_roofline():
+    """Achieved fp32 elementwise op/s on an attention-like chain over
+    VMEM-RESIDENT data (a Pallas kernel looping in-register/VMEM).
+
+    A plain jnp loop over an HBM-sized tensor measures HBM bandwidth, not
+    the VPU; the attention kernel's rectangles live in VMEM, so the relevant
+    roofline is the in-VMEM rate.  The chain per element mirrors the
+    kernel's hot loop: one exp plus mul/add/compare.
+    """
+    import jax
+    import jax.numpy as jnp
+    import functools
+    from jax.experimental import pallas as pl
+
+    shape = (512, 512)
+    ops_per_elem = 6.0  # exp,sub,cmp,select,mul,add
+
+    def kernel(x_ref, o_ref, *, reps):
+        acc = x_ref[...]
+
+        def body(_, c):
+            p = jnp.exp(c - 0.7)
+            g = jnp.where(p > 0.1, p, 0.0)
+            return g * 0.999 + 1e-6
+
+        o_ref[...] = jax.lax.fori_loop(0, reps, body, acc)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(reps, x):
+        return pl.pallas_call(
+            functools.partial(kernel, reps=reps),
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        )(x)
+
+    x = jnp.ones(shape, jnp.float32) * 0.5
+    n_elem = shape[0] * shape[1]
+    # 4000 extra iters x 262k elems x 6 ops ~ 6.3 Gop ~ hundreds of ms
+    return _rate(lambda r: run(r, x), ops_per_elem * n_elem,
+                 n_small=100, n_big=4100)
+
+
+# Elementwise full-rectangle passes of the attention kernel per fwd+bwd step,
+# counted from ops/pallas_attention_train.py (per element of [B,H,Tq,Tk]):
+#   fwd: s=qk matmul (MXU), bias-add (cross only; causal skips), exp,
+#        dropout mask cmp+select, (matmul to o)          ~3 VPU ops
+#   bwd: exp recompute (+sub), dw mask cmp+select+scale, ds = p*(dw-delta)
+#        (sub+mul), dq/dk/dv matmuls (MXU)               ~7 VPU ops
+_ATTN_VPU_OPS_PER_ELEM = 10.0
+# PRNG bits for the dropout mask, fwd + regenerated in bwd (uint32 per elem)
+_ATTN_PRNG_PASSES = 2.0
+
+
+def attention_rect_elems(hp, b, t_in, t_out):
+    """Total [B,H,Tq,Tk] rectangle elements across all attention calls."""
+    h = hp.n_attention_head
+    enc = hp.n_encoder_layer * b * h * t_in * t_in
+    dec_self = hp.n_decoder_layer * b * h * t_out * t_out
+    dec_cross = hp.n_decoder_layer * b * h * t_out * t_in
+    return enc + dec_self + dec_cross
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=16)
+    ap.add_argument("--t-in", type=int, default=192)
+    ap.add_argument("--t-out", type=int, default=448)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--out", default=os.path.join(REPO, "SOL_r04.json"))
+    ap.add_argument("--trace-dir", default="/tmp/sol_trace")
+    args = ap.parse_args()
+
+    os.makedirs("/root/.cache/jax_compile", exist_ok=True)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile")
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"skip": "no tpu backend"}))
+        return
+
+    from few_shot_transformer_tts_tpu.config import default_config
+    import bench as bench_mod
+    import profile_step
+
+    hp = default_config()
+    peak_spec = bench_mod._peak_flops(jax.devices()[0])
+
+    log("== microbench rooflines ==")
+    mxu = measure_mxu_roofline()
+    vpu = measure_vpu_roofline()
+    log("  achieved MXU: %.1f TFLOP/s bf16 (spec %.0f)"
+        % (mxu / 1e12, peak_spec / 1e12))
+    log("  achieved VPU: %.2f Telem-op/s fp32 (attention-like chain)"
+        % (vpu / 1e12))
+
+    log("== per-op profile of the train step ==")
+    import glob
+    import shutil
+    shutil.rmtree(args.trace_dir, ignore_errors=True)
+    profile_step.capture(args.trace_dir, args.steps)
+    # parse like profile_step.summarize but return the dict
+    from collections import defaultdict
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    paths = sorted(glob.glob(os.path.join(
+        args.trace_dir, "plugins/profile/*/*.xplane.pb")))
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(paths[-1], "rb").read())
+    plane = [p for p in xs.planes if p.name.startswith("/device:TPU")][0]
+    emeta = {k: v.name for k, v in plane.event_metadata.items()}
+    ops = [l for l in plane.lines if l.name == "XLA Ops"][0]
+    dur = defaultdict(float)
+    for e in ops.events:
+        c = profile_step.classify(emeta.get(e.metadata_id, "?"))
+        dur[c] += e.duration_ps / 1e9 / args.steps   # -> ms/step
+    total_ms = sum(dur.values())
+    cats = sorted(dur.items(), key=lambda x: -x[1])
+    for c, d in cats[:12]:
+        log("  %8.3f ms  %s" % (d, c))
+    log("  device busy: %.2f ms/step" % total_ms)
+
+    # ---- bounds ----
+    b, t_in, t_out = args.b, args.t_in, args.t_out
+    matmul_flops = bench_mod.train_step_matmul_flops(hp, b, t_in, t_out)
+    matmul_bound_ms = matmul_flops / mxu * 1e3
+    rect = attention_rect_elems(hp, b, t_in, t_out)
+    attn_vpu_bound_ms = rect * _ATTN_VPU_OPS_PER_ELEM / vpu * 1e3
+    attn_ms = dur.get("pallas-attention-kernels", 0.0)
+    fusion_ms = sum(d for c, d in dur.items()
+                    if c.startswith("fusion") or c == "custom-call")
+    mfu = matmul_flops / (total_ms / 1e3) / peak_spec
+
+    log("== speed-of-light accounting (per step) ==")
+    log("  analytic matmul FLOPs: %.2f GF -> %.2f ms at achieved MXU rate"
+        % (matmul_flops / 1e9, matmul_bound_ms))
+    log("  attention rectangles: %.0f Melem x %.0f VPU ops -> %.2f ms at "
+        "achieved VPU rate (measured kernel: %.2f ms)"
+        % (rect / 1e6, _ATTN_VPU_OPS_PER_ELEM, attn_vpu_bound_ms, attn_ms))
+    sol_ms = matmul_bound_ms + attn_vpu_bound_ms
+    log("  speed of light (MXU matmuls + attention VPU) = %.2f ms; "
+        "measured device busy = %.2f ms -> %.0f%% of SoL"
+        % (sol_ms, total_ms, 100 * sol_ms / total_ms))
+
+    out = {
+        "shape": {"b": b, "t_in": t_in, "t_out": t_out},
+        "achieved_mxu_tflops": round(mxu / 1e12, 1),
+        "achieved_vpu_telemops": round(vpu / 1e12, 3),
+        "spec_peak_tflops": round(peak_spec / 1e12, 1),
+        "device_busy_ms_per_step": round(total_ms, 3),
+        "mfu_vs_spec_peak": round(mfu, 4),
+        "categories_ms": {c: round(d, 3) for c, d in cats},
+        "bounds_ms": {
+            "matmuls_at_achieved_mxu": round(matmul_bound_ms, 3),
+            "attention_vpu": round(attn_vpu_bound_ms, 3),
+            "speed_of_light_total": round(sol_ms, 3),
+        },
+        "attn_kernel_measured_ms": round(attn_ms, 3),
+        "attn_kernel_vs_vpu_bound": round(
+            attn_ms / max(attn_vpu_bound_ms, 1e-9), 3),
+        "pct_of_speed_of_light": round(100 * sol_ms / total_ms, 1),
+        "assumptions": {
+            "attn_vpu_ops_per_elem": _ATTN_VPU_OPS_PER_ELEM,
+            "vpu_chain_ops_per_elem": 6.0,
+        },
+    }
+    json.dump(out, open(args.out, "w"), indent=1)
+    log("wrote", args.out)
+    print(json.dumps({"pct_of_speed_of_light": out["pct_of_speed_of_light"],
+                      "device_busy_ms": out["device_busy_ms_per_step"],
+                      "mfu": out["mfu_vs_spec_peak"]}))
+
+
+if __name__ == "__main__":
+    main()
