@@ -62,15 +62,19 @@ class Config:
     use_sos: bool = True
     bucket_size: int = 512
     shuffle_training_data: bool = True
-    # Packing budgets: 2x the reference's GPU-VRAM-era values (reference
-    # hyperparams.py:41-42 ships 8000 / 7e6).  Swept on v5e over the real
-    # feeder shape lattice (Tout 256..1024 at budget-implied B; see
-    # SWEEP_PACKING.json / tools/packing_sweep.py): throughput is nearly
-    # budget-flat (means 2323 / 2335 / 2296 audio_s/s/chip at 1x/2x/4x), but
-    # the reference budget drops to B=6 — below the B=8 batch lattice — at
-    # the Tout=1024 tail, where 2x keeps B=8 and wins 2395 vs 2094
-    # audio_s/s/chip.  16 GB HBM holds the 2x batches with headroom.
-    batch_frame_limit: int = 16000
+    # Packing budgets, tuned on v5e over the real feeder shape lattice
+    # (Tout 256..1024 at budget-implied B; SWEEP_PACKING.json /
+    # tools/packing_sweep.py).  The reference ships 8000 / 7e6 (GPU-VRAM-era,
+    # reference hyperparams.py:41-42); uniform 1x/2x/4x scalings measured
+    # nearly flat in the mean (2323 / 2335 / 2296 audio_s/s/chip) because
+    # the chip is compute-bound at every lattice point — but the per-Tout
+    # optima differ: B=16 wins at Tout=448 (2628 vs 2541 at B=32), B=32 at
+    # Tout=256 (2614), and the Tout>=832 tail needs the quad budget doubled
+    # to stay on the B=8 batch lattice (2395 vs 2094 at B=6).  The pair
+    # below selects exactly those per-Tout winners: frame limit 1.25x the
+    # reference (B = 32/16/8/8/8 at Tout 256/448/640/832/1024), quad limit
+    # 2x so the frame limit — not the attention proxy — binds the tail.
+    batch_frame_limit: int = 10000
     batch_frame_quad_limit: int = 14000000
     balanced_training: bool = True
     lg_prob_scale: float = 0.2

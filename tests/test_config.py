@@ -25,7 +25,7 @@ def test_defaults_match_reference():
     assert hp.decoder_dropout_rate == 0.5
     # deliberate divergence from the reference's 8000 / 7e6: TPU-sized
     # packing budgets, swept on-chip (SWEEP_PACKING.json, config.py comment)
-    assert hp.batch_frame_limit == 16000
+    assert hp.batch_frame_limit == 10000
     assert hp.batch_frame_quad_limit == 14000000
     assert hp.lg_prob_scale == 0.2
     assert hp.final_adapt_rate == 0.25
