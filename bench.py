@@ -119,15 +119,29 @@ def _time_train_shape(model, hp, mesh, state, batch, steps=20, reps=3):
         loss = float(losses["loss"])
         return time.time() - tic
 
-    dur = None
-    for rep in range(reps):
-        t1 = chunk(1, 1000 * rep)
-        tn = chunk(steps + 1, 1000 * rep + 100)
-        d = (tn - t1) / steps
-        if d > 0 and (dur is None or d < dur):
-            dur = d
-    if dur is None:  # every rep hit a spike during its 1-step chunk
-        dur = chunk(steps + 1, 7000) / (steps + 1)
+    def measure(reps, off0):
+        dur = None
+        for rep in range(reps):
+            t1 = chunk(1, off0 + 1000 * rep)
+            tn = chunk(steps + 1, off0 + 1000 * rep + 100)
+            d = (tn - t1) / steps
+            if d > 0 and (dur is None or d < dur):
+                dur = d
+        if dur is None:  # every rep hit a spike during its 1-step chunk
+            dur = chunk(steps + 1, off0 + 7000) / (steps + 1)
+        return dur
+
+    dur = measure(reps, 0)
+    # tunnel storm phases make EVERY dispatch cost seconds for minutes at a
+    # time; a flagship step is 0.03-0.15 s, so a reading above 1 s/step is a
+    # storm artifact — back off and remeasure rather than publishing it
+    for attempt in range(3):
+        if dur < 1.0:
+            break
+        log("  %.2f s/step looks like a tunnel storm; backing off "
+            "(%d/3)" % (dur, attempt + 1))
+        time.sleep(60)
+        dur = measure(reps, 20000 * (attempt + 1))
     return state, dur, loss
 
 
@@ -244,21 +258,45 @@ def main():
         lane_ok = hp.decoder_hidden % 128 == 0
 
         def time_path(use_fused, reps=3):
-            o = _decode_loop(*args, **kw, use_fused=use_fused)
-            np.asarray(o[2])  # compile + warm
+            # Paired-count pipelined dispatch: queue n calls (device runs
+            # them serially), fetch only the LAST output's tiny
+            # target_lengths to force completion of all, difference two
+            # counts so constant dispatch overhead cancels, min over reps.
+            def run_n(n):
+                tic = time.time()
+                outs = [_decode_loop(*args, **kw, use_fused=use_fused)
+                        for _ in range(n)]
+                np.asarray(outs[-1][2])
+                return time.time() - tic
+            run_n(1)  # compile + warm
             best = None
             for _ in range(reps):
-                tic = time.time()
-                o = _decode_loop(*args, **kw, use_fused=use_fused)
-                np.asarray(o[2])  # tiny fetch forces completion
-                d = time.time() - tic
-                best = d if best is None or d < best else best
+                d = (run_n(4) - run_n(1)) / 3
+                if d > 0 and (best is None or d < best):
+                    best = d
+            if best is None:  # every rep spiked; fall back to one pair
+                best = max((run_n(4) - run_n(1)) / 3, 1e-9)
             return best
 
-        path_times = {"xla": time_path(False)}
+        def time_path_patient(use_fused, sane_s=2.0, attempts=4):
+            # The tunnel has multi-minute storm phases where EVERY dispatch
+            # costs ~5-10 s (measured; no estimator cancels a per-dispatch
+            # cost).  A 512-frame B=8 decode is ~0.2 s device-side, so any
+            # reading above ``sane_s`` is a storm artifact: back off and
+            # retry rather than publishing it.
+            for i in range(attempts):
+                d = time_path(use_fused)
+                if d < sane_s:
+                    return d
+                log("  decode timing %.1f s/call looks like a tunnel storm; "
+                    "backing off (%d/%d)" % (d, i + 1, attempts))
+                time.sleep(90)
+            return d
+
+        path_times = {"xla": time_path_patient(False)}
         if lane_ok:
             try:
-                path_times["fused"] = time_path(True)
+                path_times["fused"] = time_path_patient(True)
             except Exception as e:  # keep the XLA numbers if Mosaic breaks
                 log("fused decode timing failed:", repr(e))
         for name, d in path_times.items():

@@ -86,8 +86,12 @@ def main():
     dec["stop_net"] = sn
     params = dict(variables["params"])
     params["decoder"] = dec
-    variables = {"params": jax.device_put(params),
-                 "batch_stats": jax.device_put(variables["batch_stats"])}
+    # COMMITTED placement (explicit device): uncommitted arrays from a bare
+    # device_put are re-validated per dispatch by this plugin in degraded
+    # tunnel phases — measured at ~10 s per decode call vs 0.2 s committed
+    dev = jax.devices()[0]
+    variables = {"params": jax.device_put(params, dev),
+                 "batch_stats": jax.device_put(variables["batch_stats"], dev)}
 
     dec_batch = {k: batch[k] for k in
                  ("inputs", "input_lengths", "input_spk_ids",
@@ -125,17 +129,25 @@ def main():
               "device": jax.devices()[0].device_kind}
 
     if not args.skip_timing:
-        def per_call(use_fused):
+        def per_call(use_fused, reps=3):
+            # paired-count pipelined dispatch; completion forced by fetching
+            # the LAST call's tiny target_lengths (block_until_ready does
+            # not block reliably through the tunnel), min over reps
             def run_n(n):
                 tic = time.time()
                 outs = [_decode_loop(*call_args, **kw, use_fused=use_fused)
                         for _ in range(n)]
-                jax.block_until_ready(outs)
+                np.asarray(outs[-1][2])
                 return time.time() - tic
             run_n(1)
             n = args.timing_calls
-            t1, tn = run_n(1), run_n(n)
-            return max((tn - t1) / (n - 1), 1e-9)
+            best = None
+            for _ in range(reps):
+                d = (run_n(n) - run_n(1)) / (n - 1)
+                if d > 0 and (best is None or d < best):
+                    best = d
+            return best if best is not None \
+                else max((run_n(n) - run_n(1)) / (n - 1), 1e-9)
         xla_ms = per_call(False) * 1e3
         fused_ms = per_call(True) * 1e3
         log("device-side per call: xla %.1f ms, fused %.1f ms (%d frames, B=%d)"
