@@ -132,8 +132,8 @@ class Config:
     # (ops/pallas_decode.py): one Pallas call per frame runs all decoder
     # layers and streams only the <=step KV-cache prefix.  Default OFF:
     # measured SLOWER than the XLA KV-cache decode on v5e at the flagship
-    # shape (fetch-timed device-side, B=8, 512-frame cap: fused 0.222 s vs
-    # XLA 0.203 s per decode; tools/tpu_decode_check.py) — the XLA while_loop
+    # shape (device-side, B=8, 512-frame cap: fused 185 ms vs XLA 173 ms per
+    # decode; tools/tpu_decode_check.py) — the XLA while_loop
     # body is already launch-bound, so saving cache-prefix HBM reads does not
     # pay for the kernel's per-block VPU work.  Kept as a parity-tested option
     # (bf16 on-chip parity 0.09 max mel diff over 512 AR frames); dropout-on

@@ -22,9 +22,9 @@ TPU v5 lite chip, flagship config, B=8, 512-frame cap):
     (fp32); nothing per-frame round-trips HBM except the per-layer weight
     stream, the cache prefix, and the tiny kernel outputs.
 
-Measured outcome (v5e, flagship dims, B=8, 512-frame cap, fetch-timed
-device-side via tools/tpu_decode_check.py): v2 closed v1's 1.8x gap but still
-trails the XLA KV-cache path slightly — 0.222 s vs 0.203 s per decode — so
+Measured outcome (v5e, flagship dims, B=8, 512-frame cap, device-side via
+tools/tpu_decode_check.py): v2 closed v1's 1.8x gap but still
+trails the XLA KV-cache path slightly — 185 ms vs 173 ms per decode — so
 ``use_pallas_decode`` defaults to OFF (config.py) and the kernel remains a
 parity-tested option.  The XLA while-loop body is already small enough that
 the saved cache-prefix HBM traffic does not pay for the kernel's per-block
