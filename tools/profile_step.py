@@ -98,7 +98,8 @@ def classify(name: str) -> str:
     return re.sub(r"[.\d]+$", "", base)
 
 
-def summarize(out_dir: str, steps: int, top: int = 25) -> None:
+def summarize(out_dir: str, steps: int, top: int = 25,
+              individual: bool = False) -> None:
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E501  pure-python parse
     paths = sorted(glob.glob(os.path.join(
         out_dir, "plugins/profile/*/*.xplane.pb")))
@@ -119,14 +120,15 @@ def summarize(out_dir: str, steps: int, top: int = 25) -> None:
     cnt = defaultdict(int)
     for e in ops[0].events:
         n = emeta.get(e.metadata_id, "?")
-        c = classify(n)
+        c = n if individual else classify(n)
         dur[c] += e.duration_ps / 1e9 / steps  # ps -> ms, per step
         cnt[c] += 1
     total = sum(dur.values())
     print(f"device busy: {total:.2f} ms/step over {steps} steps "
           f"({paths[-1]})")
     for c, d in sorted(dur.items(), key=lambda x: -x[1])[:top]:
-        print(f"{d:8.3f} ms  x{cnt[c] // steps:5d}  {c}")
+        label = c[:110] if individual else c
+        print(f"{d:8.3f} ms  x{max(cnt[c] // steps, 1):5d}  {label}")
 
 
 def main() -> None:
@@ -138,10 +140,16 @@ def main() -> None:
                          " (per-step numbers are per synthesize_batch call)")
     ap.add_argument("--summarize-only", action="store_true",
                     help="parse an existing trace directory")
+    ap.add_argument("--individual", action="store_true",
+                    help="rank individual HLO ops instead of categories "
+                         "(shows which LN-backward / fusion instance costs "
+                         "what)")
+    ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
     if not args.summarize_only:
         capture(args.out, args.steps, decode=args.decode)
-    summarize(args.out, args.steps)
+    summarize(args.out, args.steps, top=args.top,
+              individual=args.individual)
 
 
 if __name__ == "__main__":
