@@ -56,9 +56,15 @@ shapes, fetch-timed paired-count estimator):
     0.520 ms fwd+bwd at T=448 (-2%, noise) but 0.171 vs 0.149 ms at T=192
     (+15% — Mosaic handles the 1.5x128-lane misalignment worse than the
     aligned 33% extra work).
-  * Remaining gap to the composite bound (~0.34 ms fwd+bwd vs 0.55
-    measured) sits in Mosaic layout handling of the per-head 96-lane
-    slices, not in removable ops.
+  * Two costs the audit DID find and fix (isolated by incrementally adding
+    features to a stripped kernel): the per-head elementwise fp32 divide in
+    the output epilogue (+0.06 ms/call — now one reciprocal per row and a
+    broadcast multiply) and the [H, TQ] lse layout whose per-head column
+    store relayouted [TQ, 1] onto lanes (+0.05 ms/call — lse now lives
+    [TQ, H], heads on lanes, stored and read by lane-select).  Measured
+    fwd 0.222 -> 0.184 ms, fwd+bwd 0.551 -> 0.517 ms at rate 0.1.
+  * The rest of the gap to the composite bound sits in Mosaic layout
+    handling of the per-head 96-lane slices, not in removable ops.
 """
 
 from __future__ import annotations
@@ -128,14 +134,20 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)                        # [TQ, TKall] f32
         l = jnp.sum(p, axis=-1, keepdims=True)
-        lse_ref[0, h, :] = (m + jnp.log(l))[:, 0]
+        # lse lives [TQ, H] (time on sublanes, heads on lanes): a per-head
+        # column store, where the old [H, TQ] layout forced a relayout of
+        # every [TQ, 1] column onto lanes (measured +0.05 ms/call)
+        lse_ref[0, :, h:h + 1] = m + jnp.log(l)
         if rate > 0.0:
             pltpu.prng_seed(_block_seed(seed_ref, b, h, iq))
             p = jnp.where(_mask_from_bits(p.shape, rate), p, 0.0)
         o = jax.lax.dot_general(p.astype(v.dtype), v,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        outs.append(o / jnp.maximum(l * keep, 1e-30))
+        # one reciprocal per ROW, then a broadcast multiply: the elementwise
+        # fp32 divide over [TQ, d] was measured at +0.06 ms/call
+        r = 1.0 / jnp.maximum(l * keep, 1e-30)
+        outs.append(o * r)
     o_ref[0, :, :] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -189,7 +201,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
             s = s + bias_row
         if causal:
             s = jnp.where(cmask, s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0, h, :][:, None])  # softmax, recomputed
+        p = jnp.exp(s - lse_ref[0, :, h:h + 1])     # softmax, recomputed
 
         if rate > 0.0:
             pltpu.prng_seed(_block_seed(seed_ref, b, h, iq))
@@ -199,7 +211,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
             g = p
 
         dv = jax.lax.dot_general(g.astype(do_all.dtype),
-                                 (do / keep).astype(do_all.dtype),
+                                 (do * (1.0 / keep)).astype(do_all.dtype),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dvs.append(dv)
@@ -208,7 +220,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if rate > 0.0:
-            dw = jnp.where(kmask, dg, 0.0) / keep
+            dw = jnp.where(kmask, dg, 0.0) * (1.0 / keep)
         else:
             dw = dg
         ds = p * (dw - delta)                      # [TQ, TKall] f32
@@ -306,8 +318,8 @@ def _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
         in_specs=_specs(c, block_q, tk_pad),
         out_specs=[
             pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
-            pl.BlockSpec((1, num_heads, block_q),
-                         lambda ib, iq, *_: (ib, 0, iq)),
+            pl.BlockSpec((1, block_q, num_heads),
+                         lambda ib, iq, *_: (ib, iq, 0)),
         ],
     )
     o, lse = pl.pallas_call(
@@ -315,7 +327,7 @@ def _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, tq_pad, c), q.dtype),
-            jax.ShapeDtypeStruct((b, num_heads, tq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, tq_pad, num_heads), jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
@@ -355,8 +367,8 @@ def _bwd_rule(num_heads, rate, causal, scale, interpret, block_q, use_bias,
         num_scalar_prefetch=1,
         grid=(b, nq),
         in_specs=_specs(c, block_q, tk_pad) + [
-            pl.BlockSpec((1, num_heads, block_q),
-                         lambda ib, iq, *_: (ib, 0, iq)),
+            pl.BlockSpec((1, block_q, num_heads),
+                         lambda ib, iq, *_: (ib, iq, 0)),
             pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
             pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
         ],
