@@ -225,11 +225,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
             dw = dg
         ds = p * (dw - delta)                      # [TQ, TKall] f32
 
-        dq = jax.lax.dot_general(ds.astype(q.dtype), k,
+        # ONE pre-scaled bf16 rectangle feeds both grad matmuls:
+        # (ds*scale) @ k == (ds @ k) * scale, so this replaces two separate
+        # full-rect converts plus a [TQ, d] fp32 post-multiply
+        dss = (ds * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(dss, k,
                                  (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
+                                 preferred_element_type=jnp.float32)
         dqs.append(dq)
-        dk = jax.lax.dot_general((ds * scale).astype(q.dtype), q_raw,
+        dk = jax.lax.dot_general(dss, q_raw,
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dks.append(dk)
