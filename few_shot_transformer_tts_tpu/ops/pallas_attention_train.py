@@ -254,19 +254,20 @@ def _pad_time(x, t_pad):
 
 def _block_q_for(tq_len, block_q):
     """Adaptive q-tile: one big tile up to 512 rows (measured fastest --
-    fewer grid steps, wider matmuls), multiple 512-row tiles beyond.
+    fewer grid steps, wider matmuls); beyond that, the MINIMUM number of
+    EQUAL tiles <= 512 rather than fixed 512-row tiles -- fixed tiles pad
+    e.g. the Tout=832 lattice point to 1024 q rows (+23% wasted rectangle),
+    where two 416-row tiles cover it exactly.
 
-    For tq <= 512 the single tile is rounded to 8 (the TPU sublane quantum),
-    not 128: q/o/dq blocks carry tq second-to-minor, and the lse block --
-    where tq IS the minor dim -- spans the full array when there is one
-    q-tile, so the 128-lane rule never binds.  This keeps e.g. the flagship
-    Tout=448 decoder exactly at 448 rows instead of padding every attention
-    call to 512 (+14% VPU score work plus pad/slice copies per call)."""
+    Tiles are rounded to 8 (the TPU sublane quantum), not 128: q/o/dq blocks
+    carry tq second-to-minor, and the lse block's minor dim is the head
+    count, which spans the full array -- the 128-lane rule never binds."""
     if block_q is not None:
         return block_q
     if tq_len <= _MAX_BLOCK_Q:
         return _rup(tq_len, 8)
-    return _MAX_BLOCK_Q
+    n_tiles = -(-tq_len // _MAX_BLOCK_Q)
+    return _rup(-(-tq_len // n_tiles), 8)
 
 
 def _specs(c, block_q, tk_pad):
