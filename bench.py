@@ -29,6 +29,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Total seconds of storm-backoff sleeping allowed across the whole bench:
+# retries improve one metric but a truncated run loses the headline JSON
+# line entirely, so the budget is bounded.
+_BACKOFF_BUDGET = [300.0]
+
+
+def _backoff(seconds: float) -> bool:
+    if _BACKOFF_BUDGET[0] < seconds:
+        log("  backoff budget exhausted; keeping the degraded measurement")
+        return False
+    _BACKOFF_BUDGET[0] -= seconds
+    time.sleep(seconds)
+    return True
+
+
 # Peak dense bf16 FLOP/s per chip by device kind (public spec sheets).
 _PEAK_BF16 = {
     "TPU v4": 275e12,
@@ -140,7 +155,8 @@ def _time_train_shape(model, hp, mesh, state, batch, steps=20, reps=3):
             break
         log("  %.2f s/step looks like a tunnel storm; backing off "
             "(%d/3)" % (dur, attempt + 1))
-        time.sleep(60)
+        if not _backoff(60):
+            break
         dur = measure(reps, 20000 * (attempt + 1))
     return state, dur, loss
 
@@ -290,7 +306,8 @@ def main():
                     return d
                 log("  decode timing %.1f s/call looks like a tunnel storm; "
                     "backing off (%d/%d)" % (d, i + 1, attempts))
-                time.sleep(90)
+                if not _backoff(90):
+                    break
             return d
 
         path_times = {"xla": time_path_patient(False)}
