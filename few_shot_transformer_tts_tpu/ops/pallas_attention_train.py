@@ -65,6 +65,16 @@ shapes, fetch-timed paired-count estimator):
     fwd 0.222 -> 0.184 ms, fwd+bwd 0.551 -> 0.517 ms at rate 0.1.
   * The rest of the gap to the composite bound sits in Mosaic layout
     handling of the per-head 96-lane slices, not in removable ops.
+  * Lane-aligning the head pitch (d 96 -> 128) was tried and REJECTED
+    (round 4, measured at B=16 T=448 H=8, 401-call paired counts): the
+    kernel alone IS 18% faster at an aligned 128-lane pitch even with 33%
+    more matmul columns (0.406 vs 0.497 ms/call fwd+bwd), but every way of
+    feeding it loses more than that upstream -- repacking q/k/v activations
+    96->128 in XLA costs ~0.10 ms/call (0.503 total, a wash), and padding
+    the projection WEIGHTS so q/k/v arrive pre-aligned adds 33% to the four
+    projection matmuls' MXU time (proj+attn chain 0.719 vs 0.546 ms/call,
+    a clear net loss).  The misalignment penalty is real but smaller than
+    any available realignment cost at these dims.
 """
 
 from __future__ import annotations
