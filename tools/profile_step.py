@@ -38,7 +38,8 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(out_dir: str, steps: int, decode: bool = False) -> None:
+def capture(out_dir: str, steps: int, decode: bool = False, b: int = 16,
+            t_in: int = 192, t_out: int = 448) -> None:
     import jax
     os.makedirs("/root/.cache/jax_compile", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile")
@@ -51,7 +52,7 @@ def capture(out_dir: str, steps: int, decode: bool = False) -> None:
 
     hp = default_config()
     model = ByteToMel(hp)
-    batch = _example_batch(hp, b=16, t_in=192, t_out=448)
+    batch = _example_batch(hp, b=b, t_in=t_in, t_out=t_out)
     mesh = make_mesh(data=-1, model=1)
     state = create_state(model, hp, 0,
                          device_batch(batch))
@@ -134,6 +135,9 @@ def summarize(out_dir: str, steps: int, top: int = 25,
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--b", type=int, default=16)
+    ap.add_argument("--t-in", type=int, default=192)
+    ap.add_argument("--t-out", type=int, default=448)
     ap.add_argument("--out", default="/tmp/tputrace")
     ap.add_argument("--decode", action="store_true",
                     help="profile the AR-decode loop instead of the train step"
@@ -147,7 +151,8 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
     if not args.summarize_only:
-        capture(args.out, args.steps, decode=args.decode)
+        capture(args.out, args.steps, decode=args.decode,
+                b=args.b, t_in=args.t_in, t_out=args.t_out)
     summarize(args.out, args.steps, top=args.top,
               individual=args.individual)
 

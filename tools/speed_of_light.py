@@ -178,7 +178,8 @@ def main():
     import glob
     import shutil
     shutil.rmtree(args.trace_dir, ignore_errors=True)
-    profile_step.capture(args.trace_dir, args.steps)
+    profile_step.capture(args.trace_dir, args.steps,
+                         b=args.b, t_in=args.t_in, t_out=args.t_out)
     # parse like profile_step.summarize but return the dict
     from collections import defaultdict
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
