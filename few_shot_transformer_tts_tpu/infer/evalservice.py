@@ -108,10 +108,12 @@ def make_saver_pool(kind=None, workers: int = 5):
     """Worker pool for Griffin-Lim + matplotlib result saving.
 
     The reference deliberately uses a ProcessPool (reference eval.py:181-192)
-    because this work is CPU-bound and largely GIL-bound.  Measured here
-    (tools/saver_pool_ab.py, 2-core host, 2 batches x 8 samples, n_iter=8):
-    see that tool's docstring for the shipped numbers — the winner is the
-    default; ``--saver_pool thread|process`` overrides.
+    because this work is CPU-bound and largely GIL-bound.  Measured round 5
+    (tools/saver_pool_ab.py, 2-core host, 4 batches x 8 samples of T=400
+    mels, n_iter=8 Griffin-Lim, trainer running concurrently): process pool
+    14.1 s vs thread pool 27.5 s — 5 threads serialize on the GIL through
+    matplotlib and the Python DSP glue.  Processes are the default;
+    ``--saver_pool thread|process`` overrides.
     """
     if kind == "thread":
         return ThreadPoolExecutor(max_workers=workers)

@@ -9,11 +9,11 @@ real save_eval_results: npy + Griffin-Lim wav + trim + mel/align pngs) and
 records the winner, which infer/evalservice.make_saver_pool ships as the
 default.
 
-Measured on this 2-core host (4 batches x 8 samples, T=400 frames, n_iter=8
-Griffin-Lim, quiet host; MEASURED_* constants below updated from a committed
-run): processes win — numpy's FFT releases the GIL but the matplotlib figure
-rendering and the pure-Python trim/plot glue do not, so 5 threads serialize
-on the GIL where 2 processes saturate both cores.
+Measured round 5 on this 2-core host (4 batches x 8 samples, T=400 frames,
+n_iter=8 Griffin-Lim, chip trainer running concurrently): **thread5 27.5 s,
+process5 14.1 s** — processes win 1.9x.  numpy's FFT releases the GIL but
+the matplotlib figure rendering and the pure-Python trim/plot glue do not,
+so 5 threads serialize on the GIL where 2 processes saturate both cores.
 
 Usage: python tools/saver_pool_ab.py [--batches 4] [--b 8] [--t 400]
 """
