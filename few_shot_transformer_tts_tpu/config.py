@@ -146,6 +146,22 @@ class Config:
     # which an opaque custom call forecloses.  Kept as a tested option for
     # backends/configs where that fusion doesn't happen.
     use_fused_adam: bool = False
+    # One-pass fused LayerNorm BACKWARD kernel (ops/fused_layernorm.py):
+    # dx + dgamma + dbeta in a single HBM stream where XLA's LN-backward
+    # reduce fusions measured 3.8x their bytes/bandwidth bound
+    # (SOL_r05.json: 2.89 ms vs 0.76 ms bound at B=16/192/448).  Default ON
+    # by measurement (tools/fused_ln_check.py, FUSED_LN_r05.json): step
+    # 26.99 -> 26.85 ms; the profile shows the LN-backward custom calls at
+    # ~0.7 ms — AT the HBM bound — though XLA reshuffling absorbs part of
+    # the category win elsewhere.  The FORWARD stays plain jnp so XLA keeps
+    # fusing the normalize into neighbors (an all-Pallas LN measured a wash:
+    # 27.04 ms).  Off-TPU backends always use the jnp path.
+    use_fused_layernorm: bool = True
+    # Ship mel targets host->device as int16 (dequantized to fp32 inside the
+    # jitted step; quantization step = max_abs_value/32767 ~ 1.2e-4).  Halves
+    # the per-step H2D payload — the measured wall-vs-device residual on
+    # bandwidth-limited links (train/loop.py quantize_wire_mels).
+    wire_mel_int16: bool = True
     # Gradient checkpointing (rematerialization) of encoder/decoder layers.
     remat: bool = False
     # PRNG implementation for training dropout keys.  'rbg' uses the TPU's

@@ -53,8 +53,35 @@ class FFNLayer(nn.Module):
         return self.output_layer(hidden)
 
 
-def _layer_norm(dtype, name):
+class FusedLayerNorm(nn.Module):
+    """Param-compatible nn.LayerNorm replacement backed by the one-pass
+    Pallas kernel (ops/fused_layernorm.py — dx/dgamma/dbeta in one HBM
+    stream; SOL_r05 measured XLA's LN-backward at 3.8x its bytes bound).
+    Same "scale"/"bias" fp32 params, so checkpoints and the torch converter
+    are unchanged."""
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.fused_layernorm import fused_layer_norm, reference_ln
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x = x.astype(self.dtype)
+        if jax.default_backend() != "tpu":
+            # jnp fallback off-TPU (same policy as the attention kernel):
+            # interpret-mode Mosaic would crawl on CPU test meshes, and the
+            # jnp path is the same math (tests/test_fused_layernorm.py pins
+            # kernel<->jnp parity in interpret mode)
+            return reference_ln(x, scale, bias, self.epsilon)
+        return fused_layer_norm(x, scale, bias, self.epsilon, False)
+
+
+def _layer_norm(dtype, name, fused: bool = False):
     # eps matches reference nn.LayerNorm(..., eps=1e-6)
+    if fused:
+        return FusedLayerNorm(epsilon=1e-6, dtype=dtype, name=name)
     return nn.LayerNorm(epsilon=1e-6, dtype=dtype, name=name)
 
 
@@ -81,14 +108,14 @@ class TransformerEncoder(nn.Module):
         attns, attn_lns, ffns, ffn_lns = [], [], [], []
         for layer in range(hp.n_encoder_layer):
             in_size = self.input_size if layer == 0 else hidden
-            attn_lns.append(_layer_norm(self.dtype, f"attn_layer_norms_{layer}"))
+            attn_lns.append(_layer_norm(self.dtype, f"attn_layer_norms_{layer}", hp.use_fused_layernorm))
             attns.append(mha_cls(
                 key_size=in_size, value_size=in_size, is_self_attention=True,
                 num_heads=hp.n_attention_head,
                 dropout_rate=hp.transformer_dropout_rate, dtype=self.dtype,
                 use_pallas=hp.use_pallas_attention,
                 name=f"self_attentions_{layer}"))
-            ffn_lns.append(_layer_norm(self.dtype, f"ffn_layer_norms_{layer}"))
+            ffn_lns.append(_layer_norm(self.dtype, f"ffn_layer_norms_{layer}", hp.use_fused_layernorm))
             ffns.append(ffn_cls(hidden, hidden * 4, hidden,
                                 dropout_rate=hp.transformer_dropout_rate,
                                 dtype=self.dtype, name=f"ffn_layers_{layer}"))
@@ -96,7 +123,7 @@ class TransformerEncoder(nn.Module):
         self.attn_layer_norms = attn_lns
         self.ffn_layers = ffns
         self.ffn_layer_norms = ffn_lns
-        self.output_layer_norm = _layer_norm(self.dtype, "output_layer_norm")
+        self.output_layer_norm = _layer_norm(self.dtype, "output_layer_norm", hp.use_fused_layernorm)
         self.pe_scale = self.param("pe_scale", nn.initializers.ones, ())
         self.dropout = nn.Dropout(self.hp.transformer_dropout_rate)
 
@@ -146,21 +173,21 @@ class TransformerDecoder(nn.Module):
         attns, attn_lns, xattns, xattn_lns, ffns, ffn_lns = [], [], [], [], [], []
         for layer in range(hp.n_decoder_layer):
             in_size = self.input_size if layer == 0 else hidden
-            attn_lns.append(_layer_norm(self.dtype, f"attn_layer_norms_{layer}"))
+            attn_lns.append(_layer_norm(self.dtype, f"attn_layer_norms_{layer}", hp.use_fused_layernorm))
             attns.append(mha_cls(
                 key_size=in_size, value_size=in_size, is_self_attention=True,
                 num_heads=hp.n_attention_head,
                 dropout_rate=hp.transformer_dropout_rate, dtype=self.dtype,
                 use_pallas=hp.use_pallas_attention,
                 name=f"self_attentions_{layer}"))
-            xattn_lns.append(_layer_norm(self.dtype, f"encdec_layer_norms_{layer}"))
+            xattn_lns.append(_layer_norm(self.dtype, f"encdec_layer_norms_{layer}", hp.use_fused_layernorm))
             xattns.append(mha_cls(
                 key_size=hidden, value_size=hidden, is_self_attention=False,
                 num_heads=hp.n_attention_head,
                 dropout_rate=hp.transformer_dropout_rate, dtype=self.dtype,
                 use_pallas=hp.use_pallas_attention,
                 name=f"encdec_attentions_{layer}"))
-            ffn_lns.append(_layer_norm(self.dtype, f"ffn_layer_norms_{layer}"))
+            ffn_lns.append(_layer_norm(self.dtype, f"ffn_layer_norms_{layer}", hp.use_fused_layernorm))
             ffns.append(ffn_cls(hidden, hidden * 4, hidden,
                                 dropout_rate=hp.transformer_dropout_rate,
                                 dtype=self.dtype, name=f"ffn_layers_{layer}"))
@@ -170,7 +197,7 @@ class TransformerDecoder(nn.Module):
         self.encdec_layer_norms = xattn_lns
         self.ffn_layers = ffns
         self.ffn_layer_norms = ffn_lns
-        self.output_layer_norm = _layer_norm(self.dtype, "output_layer_norm")
+        self.output_layer_norm = _layer_norm(self.dtype, "output_layer_norm", hp.use_fused_layernorm)
         self.pe_scale = self.param("pe_scale", nn.initializers.ones, ())
         self.dropout = nn.Dropout(self.hp.transformer_dropout_rate)
 

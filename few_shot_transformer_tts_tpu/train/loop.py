@@ -113,6 +113,38 @@ def create_state(model: ByteToMel, hp: Config, rng, sample_batch: Dict,
 _BATCH_KEYS = ("inputs", "input_lengths", "mel_targets", "target_lengths",
                "input_spk_ids", "input_language_vecs")
 
+# Host->device wire format for mel targets.  Measured on the tunneled chip
+# (round 5): effective H2D bandwidth is ~30-50 MB/s, and the per-step fp32
+# mel upload (~2 MB at the packed flagship shapes) was the residual between
+# wall (0.050 s/step) and device (0.027 s/step) time after the deferred loss
+# fetch landed.  int16 halves the payload; the quantization step is
+# max_abs_value/32767 ~= 1.2e-4 on the [-4, 4] mel scale — three orders of
+# magnitude below the corpus noise floor, and the de-quantized targets are
+# fp32 inside the step so every downstream computation is unchanged.  On
+# PCIe-attached TPUs this is simply free.  hp.wire_mel_int16=False restores
+# the fp32 wire.
+
+
+def quantize_wire_mels(batch: Dict, hp: Config) -> Dict:
+    m = batch.get("mel_targets")
+    if m is None or m.dtype == np.int16:
+        return batch
+    scale = 32767.0 / float(hp.max_abs_value)
+    q = np.clip(np.asarray(m, np.float32) * scale, -32767, 32767)
+    out = dict(batch)
+    out["mel_targets"] = np.round(q).astype(np.int16)
+    return out
+
+
+def dequantize_wire_mels(batch: Dict, hp: Config) -> Dict:
+    m = batch.get("mel_targets")
+    if m is None or m.dtype != jnp.int16:
+        return batch
+    out = dict(batch)
+    out["mel_targets"] = m.astype(jnp.float32) * (
+        float(hp.max_abs_value) / 32767.0)
+    return out
+
 
 def _bootstrap_batch(hp: Config, b: int = 2) -> Dict:
     """Synthetic batch at minimal lattice shapes, for parameter init only.
@@ -159,6 +191,8 @@ def make_train_step(model: ByteToMel, hp: Config,
     tx = tx or make_optimizer(hp)
 
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        batch = dequantize_wire_mels(batch, hp)
+
         def loss_fn(params):
             outputs, muts = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -398,6 +432,8 @@ def train(args, hp: Config):
     def fetch_device_batch():
         batch = feeder.get_batch()
         dbatch = device_batch(batch)
+        if getattr(hp, "wire_mel_int16", True):
+            dbatch = quantize_wire_mels(dbatch, hp)
         if jax.process_count() == 1:
             dbatch = mesh_lib.pad_batch_to_devices(dbatch, mesh.shape["data"])
         # multi-process row padding happens inside assemble_global_batch,

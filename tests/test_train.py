@@ -414,3 +414,45 @@ def test_bootstrap_batch_init_matches_real_batch_init():
                     jax.tree.leaves(s_real.params)):
         assert a.shape == b.shape and a.dtype == b.dtype
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int16_mel_wire_equivalence():
+    """The int16 mel wire format (H2D payload halving) must be numerically
+    inert: quantization error <= max_abs/32767 per value, and the step loss
+    on a quantized batch matches the fp32-wire loss to that tolerance."""
+    from few_shot_transformer_tts_tpu.config import small_test_config
+    from few_shot_transformer_tts_tpu.models.tacotron import ByteToMel
+    from few_shot_transformer_tts_tpu.train.loop import (
+        create_state, make_train_step, quantize_wire_mels,
+        dequantize_wire_mels)
+
+    hp = small_test_config()
+    rng = np.random.RandomState(0)
+    b, t_in, t_out = 2, 16, 16
+    batch = {
+        "inputs": np.full((b, t_in), 5, np.int32),
+        "input_lengths": np.full((b,), t_in, np.int32),
+        "mel_targets": np.clip(rng.randn(b, t_out, hp.num_mels) * 2, -4, 4
+                               ).astype(np.float32),
+        "target_lengths": np.full((b,), t_out, np.int32),
+        "input_spk_ids": np.zeros((b,), np.int32),
+        "input_language_vecs": np.eye(hp.max_num_language,
+                                      dtype=np.float32)[:b],
+    }
+    q = quantize_wire_mels(batch, hp)
+    assert q["mel_targets"].dtype == np.int16
+    import jax.numpy as jnp
+    deq = dequantize_wire_mels({k: jnp.asarray(v) for k, v in q.items()}, hp)
+    err = np.max(np.abs(np.asarray(deq["mel_targets"])
+                        - batch["mel_targets"]))
+    assert err <= hp.max_abs_value / 32767.0 + 1e-7, err
+
+    model = ByteToMel(hp)
+    state = create_state(model, hp, 0, batch)
+    step = make_train_step(model, hp, donate=False)
+    import jax
+    key = jax.random.key(0, impl=hp.prng_impl)
+    _, l_f32 = step(state, batch, key)
+    _, l_i16 = step(state, q, key)
+    np.testing.assert_allclose(float(l_f32["loss"]), float(l_i16["loss"]),
+                               rtol=1e-4)

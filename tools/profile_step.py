@@ -39,7 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture(out_dir: str, steps: int, decode: bool = False, b: int = 16,
-            t_in: int = 192, t_out: int = 448) -> None:
+            t_in: int = 192, t_out: int = 448, hparams: str = "") -> None:
     import jax
     os.makedirs("/root/.cache/jax_compile", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile")
@@ -50,7 +50,7 @@ def capture(out_dir: str, steps: int, decode: bool = False, b: int = 16,
         create_state, make_train_step, device_batch)
     from __graft_entry__ import _example_batch
 
-    hp = default_config()
+    hp = default_config().parse(hparams)
     model = ByteToMel(hp)
     batch = _example_batch(hp, b=b, t_in=t_in, t_out=t_out)
     mesh = make_mesh(data=-1, model=1)
@@ -149,10 +149,13 @@ def main() -> None:
                          "(shows which LN-backward / fusion instance costs "
                          "what)")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--hparams", default="",
+                    help="k=v,... config overrides for the profiled step")
     args = ap.parse_args()
     if not args.summarize_only:
         capture(args.out, args.steps, decode=args.decode,
-                b=args.b, t_in=args.t_in, t_out=args.t_out)
+                b=args.b, t_in=args.t_in, t_out=args.t_out,
+                hparams=args.hparams)
     summarize(args.out, args.steps, top=args.top,
               individual=args.individual)
 
