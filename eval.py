@@ -40,6 +40,10 @@ def build_parser():
     parser.add_argument('--eval_steps', type=str, default=None)
     parser.add_argument('--eval_interval', type=int, default=10000)
     parser.add_argument('--scan_interval', type=int, default=600)
+    parser.add_argument('--saver_pool', choices=['thread', 'process'],
+                        default=None,
+                        help='result-saver pool; default is the measured '
+                             'winner (process — tools/saver_pool_ab.py)')
     parser.add_argument('--tpu_vocoder', action='store_true',
                         help='run batched Griffin-Lim on the accelerator '
                              'instead of per-sample CPU vocoding')

@@ -162,6 +162,12 @@ class Config:
     # the per-step H2D payload — the measured wall-vs-device residual on
     # bandwidth-limited links (train/loop.py quantize_wire_mels).
     wire_mel_int16: bool = True
+    # Evaluate the postnet's k=5 SAME convs as matmuls (models/tacotron.py
+    # MatmulConv1D; param-path identical to nn.Conv).  Default OFF by
+    # measurement: both the wide-concat and sum-of-5 evaluations are SLOWER
+    # than XLA's conv at the flagship step (27.07-27.34 vs 26.69-26.80 ms;
+    # CONV_AB_r05.json / CONV_AB_r05_sum5.json, tools/step_ab.py).
+    conv_as_matmul: bool = False
     # Gradient checkpointing (rematerialization) of encoder/decoder layers.
     remat: bool = False
     # PRNG implementation for training dropout keys.  'rbg' uses the TPU's

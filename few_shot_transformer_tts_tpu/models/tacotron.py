@@ -158,6 +158,52 @@ class MaskedBatchNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
+class MatmulConv1D(nn.Module):
+    """k-tap SAME 1D convolution evaluated as matmuls, parameter-compatible
+    with nn.Conv(use_bias=False, padding=SAME) ("kernel" [k,Cin,Cout]), so
+    checkpoints and the torch converter are untouched.
+
+    Motivated by XLA's conv lowering measuring 2x its computed bound
+    (SOL_r05.json conv_vs_bound) — but BOTH evaluations measured SLOWER
+    than the conv at the flagship step (tools/step_ab.py): wide-concat
+    [B,T,k*Cin] @ [k*Cin,Cout] 27.34 ms/step (CONV_AB_r05.json) and
+    sum-of-k-shifted-matmuls 27.07 ms (CONV_AB_r05_sum5.json) vs
+    26.69-26.80 baseline — the conv category's "2x bound" includes the
+    BatchNorm/tanh fusions XLA hangs off the conv op, which a matmul
+    rewrite does not remove.  hp.conv_as_matmul therefore ships default
+    OFF; this module is the kept, tested rejection record."""
+    features: int
+    kernel_size: int = 5
+    dtype: Any = jnp.float32
+    wide: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", variance_scaling_init(),
+                            (k, c_in, self.features), jnp.float32)
+        r = k // 2
+        xp = jnp.pad(x, ((0, 0), (r, k - 1 - r), (0, 0))).astype(self.dtype)
+        t = x.shape[1]
+        if getattr(self, "wide", False):
+            # one fat matmul over the concatenated shifted views — measured
+            # 2.4% SLOWER at the step level (CONV_AB_r05.json: 27.34 vs
+            # 26.69 ms; the [B,T,k*C] materialization outweighs the conv
+            # lowering overhead); kept for the record
+            wide = jnp.concatenate([xp[:, i:i + t, :] for i in range(k)],
+                                   axis=-1)
+            w = kernel.reshape(k * c_in, self.features).astype(self.dtype)
+            return jax.lax.dot_general(wide, w, (((2,), (0,)), ((), ())))
+        w = kernel.astype(self.dtype)
+        y = None
+        for i in range(k):   # sum of k shifted matmuls: no wide tensor ever
+            term = jax.lax.dot_general(xp[:, i:i + t, :], w[i],
+                                       (((2,), (0,)), ((), ())))
+            y = term if y is None else y + term
+        return y
+
+
 class Postnet(nn.Module):
     """reference transformer/tacotron.py:68-90.  Layout is NWC throughout;
     batch statistics are length-masked (see MaskedBatchNorm)."""
@@ -170,10 +216,15 @@ class Postnet(nn.Module):
         hidden = hp.postnet_hidden
         for i in range(hp.n_postnet_layer):
             out_size = hp.num_mels if i == hp.n_postnet_layer - 1 else hidden
-            convs.append(nn.Conv(
-                out_size, kernel_size=(5,), padding="SAME", use_bias=False,
-                dtype=self.dtype, kernel_init=variance_scaling_init(),
-                name=f"conv_layers_{i}"))
+            if getattr(hp, "conv_as_matmul", False):
+                convs.append(MatmulConv1D(
+                    out_size, kernel_size=5, dtype=self.dtype,
+                    name=f"conv_layers_{i}"))
+            else:
+                convs.append(nn.Conv(
+                    out_size, kernel_size=(5,), padding="SAME", use_bias=False,
+                    dtype=self.dtype, kernel_init=variance_scaling_init(),
+                    name=f"conv_layers_{i}"))
             bns.append(MaskedBatchNorm(
                 out_size, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                 name=f"batchnorm_layers_{i}"))
