@@ -65,6 +65,21 @@ shapes, fetch-timed paired-count estimator):
     fwd 0.222 -> 0.184 ms, fwd+bwd 0.551 -> 0.517 ms at rate 0.1.
   * The rest of the gap to the composite bound sits in Mosaic layout
     handling of the per-head 96-lane slices, not in removable ops.
+Round-5 audit (ATTN_FIXEDCOST_r05.json; tools/attn_fixed_cost.py):
+
+  * Per-grid-program fixed cost measured with an EMPTY-BODY pallas_call on
+    the same grid/BlockSpecs: 0.005-0.008 ms for a whole 16-program call
+    (~0.3-0.5 us/program, ~1.5% of the real 0.46 ms call) — the round-4
+    "fixed per-call overhead" hypothesis is REFUTED; the residual is
+    in-program.
+  * block_b batch rows per program (1/2/4/8): fwd+bwd 0.464/0.490/0.527/
+    0.568 ms — fatter programs REJECTED (ship 1); bit-equivalence across
+    block_b parity-checked on chip with dropout on.
+  * Mosaic grid dimension_semantics hints (fwd both dims "parallel", bwd
+    iq "arbitrary" for the dk/dv accumulation): fwd 0.1574 -> 0.1545,
+    fwd+bwd 0.466 -> 0.462 ms — small but free, default ON
+    (FSTTS_ATTN_DIMSEM=0 restores unhinted grids).
+
   * Lane-aligning the head pitch (d 96 -> 128) was tried and REJECTED
     (round 4, measured at B=16 T=448 H=8, 401-call paired counts): the
     kernel alone IS 18% faster at an aligned 128-lane pitch even with 33%
@@ -96,7 +111,26 @@ _MAX_BLOCK_Q = 512
 # past 16 MB at B>=32 (measured: 17.69 MB at B=32, 18.91 MB at B=64 on v5e).
 # v5e has 128 MB of physical VMEM per core; raise the kernel budget so the
 # TPU-sized packed batches (2-4x the reference's GPU-VRAM-era limits) compile.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+_VMEM_LIMIT = 64 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _compiler_params(bwd: bool):
+    """Grid dimension-semantics hints for Mosaic.  The forward has no
+    cross-program dependencies (both grid dims "parallel"); the backward
+    accumulates dk/dv across q-tiles, so the iq dim must stay "arbitrary"
+    (sequential revisits of the same output block).  Gated by
+    FSTTS_ATTN_DIMSEM for the A/B; default set by measurement (see the
+    module docstring round-5 notes)."""
+    import os
+    if os.environ.get("FSTTS_ATTN_DIMSEM", "1") == "0":
+        return _COMPILER_PARAMS
+    sem = ("parallel", "arbitrary") if bwd else ("parallel", "parallel")
+    try:
+        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT,
+                                    dimension_semantics=sem)
+    except TypeError:  # older pallas without the field
+        return _COMPILER_PARAMS
 
 
 def _block_seed(seed_ref, b, h, iq):
@@ -122,11 +156,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tk_all), 1)
         cmask = cols <= rows
 
-    for i in range(block_b):              # static unroll over batch rows:
-        # several rows per grid program amortize the per-program Mosaic
-        # fixed cost (prologue/epilogue + DMA turnaround), which the round-5
-        # itemization measured as the dominant share of the kernel's gap to
-        # its VPU bound at the workhorse shapes (tools/attn_fixed_cost.py)
+    for i in range(block_b):              # static unroll over batch rows
+        # (block_b ships 1: the round-5 itemization measured the per-program
+        # fixed cost at ~1.5% of a call and fatter programs slower — see
+        # _block_b_for; the knob is kept for experiments)
         b = bb * block_b + i
         q_all = q_ref[i]                          # [TQ, C]
         k_all = k_ref[i]                          # [TKall, C]
@@ -388,7 +421,7 @@ def _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
             jax.ShapeDtypeStruct((b, tq_pad, c), q.dtype),
             jax.ShapeDtypeStruct((b, tq_pad, num_heads), jnp.float32),
         ],
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_compiler_params(bwd=False),
         interpret=interpret,
     )(seed, qp, kp, vp, biasp[:, None, :])
     o = o[:, :tq_len, :]
@@ -450,7 +483,7 @@ def _bwd_rule(num_heads, rate, causal, scale, interpret, block_q, use_bias,
             jax.ShapeDtypeStruct((b, tk_pad, c), k.dtype),
             jax.ShapeDtypeStruct((b, tk_pad, c), v.dtype),
         ],
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_compiler_params(bwd=True),
         interpret=interpret,
     )(seed, qp, kp, vp, biasp[:, None, :], lse, dop, op)
     dq = dq[:, :tq_len, :]

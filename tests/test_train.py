@@ -183,6 +183,14 @@ def test_end_to_end_training_cli(tmp_path):
     assert os.path.exists(os.path.join(root, "models", "model.ckpt-3"))
     assert os.path.exists(os.path.join(root, "logs", "feeder_0.pkl"))
     assert os.path.exists(os.path.join(root, "logs", "metrics.jsonl"))
+    # deferred batched loss fetch: every step still gets its own log line
+    # (emitted in bursts at log_interval/summary/checkpoint boundaries)
+    import glob as _glob
+    import re as _re
+    log_text = "".join(open(p, errors="replace").read() for p in
+                       _glob.glob(os.path.join(root, "logs", "outputs_*.log")))
+    logged_steps = {int(m) for m in _re.findall(r"\[Step (\d+)\]", log_text)}
+    assert {1, 2, 3, 4} <= logged_steps, logged_steps
     # inline eval ran at step 3
     eval_dir = os.path.join(root, "logs", "eval_3")
     assert os.path.isdir(eval_dir)
