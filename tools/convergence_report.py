@@ -101,10 +101,19 @@ def main():
     ap.add_argument("--md", default="CONVERGE_r05.md")
     ap.add_argument("--phase2-logdir", default=None,
                     help="adaptation-phase log dir for the fr-fr ramp plot")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                    help="decode backend for the final-checkpoint analysis "
+                         "(tpu for flagship dims — CPU AR decode of the "
+                         "full-size model is minutes per sample)")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        os.makedirs("/root/.cache/jax_compile", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_compile")
     import matplotlib
     matplotlib.use("Agg")
     from matplotlib import pyplot as plt
@@ -121,7 +130,8 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     logdir = os.path.join(args.run_dir, "logs")
     hp = Config(**json.load(open(os.path.join(logdir, "hparams.json"))))
-    hp = hp.replace(use_pallas_attention=False, use_bfloat16=False)
+    if args.platform == "cpu":
+        hp = hp.replace(use_pallas_attention=False, use_bfloat16=False)
 
     # ---- (a) training loss ----
     rows = parse_train_log(logdir)

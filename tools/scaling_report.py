@@ -110,10 +110,11 @@ def analytic_dp_model():
     ~2 x 45-50 GB/s ~= 100 GB/s of per-chip algorithm bandwidth, which is
     what the headline rows assume.  Because this is the one free parameter
     in the model, a sensitivity sweep over 25-400 GB/s is emitted alongside
-    so the >=85% conclusion's dependence on it is visible: the all-reduce
-    is small enough (fp32 grads of an 85M-param model vs a 28 ms step) that
-    the overlap-adjusted efficiency holds 1.0 down to 25 GB/s, and even the
-    no-overlap worst case stays >=0.79 at 25 GB/s."""
+    so the >=85% conclusion's dependence on it is visible (SCALING_r05.json
+    bandwidth_sensitivity): the overlap-adjusted efficiency holds 1.0 down
+    to 50 GB/s and is 0.78 at a pessimistic 25 GB/s; the no-overlap worst
+    case (a bound no real XLA schedule hits) is 0.81 at the cited 100 GB/s
+    and degrades to 0.51 only at 25 GB/s x 256 chips."""
     import numpy as np
     sys.path.insert(0, REPO)
     from few_shot_transformer_tts_tpu.config import default_config
