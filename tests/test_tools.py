@@ -39,3 +39,28 @@ def test_scaling_strong_mode_fixes_global_batch():
     assert [r["batch"] for r in res] == [4, 4]  # 2 * max(degrees), fixed
     assert res[0]["efficiency"] == 1.0
     assert all(np.isfinite(r["sec_per_step"]) for r in res)
+
+
+def test_round5_tools_importable_and_skip_off_tpu():
+    """The round-5 measurement tools must import cleanly and exit with a
+    JSON skip line off-TPU (they are chip harnesses; a syntax or import
+    regression should fail CI, not the next chip session)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    for tool, args in [
+            ("tools/attn_fixed_cost.py", []),
+            ("tools/fused_ln_check.py", []),
+            ("tools/step_ab.py", ["--b", "conv_as_matmul=True"]),
+    ]:
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, tool)] + args,
+            capture_output=True, text=True, env=env, cwd=repo, timeout=300)
+        assert r.returncode == 0, (tool, r.stderr[-500:])
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        assert json.loads(line).get("skip") == "no tpu backend", (tool, line)

@@ -27,6 +27,10 @@ def main():
     args = ap.parse_args()
 
     os.makedirs("/root/.cache/jax_compile", exist_ok=True)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from few_shot_transformer_tts_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor JAX_PLATFORMS=cpu despite the axon plugin
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile")
     if jax.default_backend() != "tpu":
