@@ -101,6 +101,9 @@ def main():
     ap.add_argument("--md", default="CONVERGE_r05.md")
     ap.add_argument("--phase2-logdir", default=None,
                     help="adaptation-phase log dir for the fr-fr ramp plot")
+    ap.add_argument("--ckpt", default=None,
+                    help="explicit checkpoint path (default: latest in "
+                         "run-dir/models)")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
                     help="decode backend for the final-checkpoint analysis "
                          "(tpu for flagship dims — CPU AR decode of the "
@@ -197,7 +200,8 @@ def main():
         tmpl_batch["target_lengths"] = np.full(
             (tmpl_batch["inputs"].shape[0],), 8, np.int32)
     tmpl = create_state(model, hp, 0, tmpl_batch)
-    ckpt = ckpt_lib.find_ckpt(os.path.join(args.run_dir, "models"))
+    ckpt = args.ckpt or ckpt_lib.find_ckpt(os.path.join(args.run_dir,
+                                                        "models"))
     state = ckpt_lib.load_state(ckpt, tmpl)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
