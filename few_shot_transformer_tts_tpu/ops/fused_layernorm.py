@@ -52,13 +52,6 @@ def _stats(x32, eps):
     return mean, rstd
 
 
-def _fwd_kernel(x_ref, g_ref, b_ref, y_ref, *, eps: float):
-    x32 = x_ref[...].astype(jnp.float32)
-    mean, rstd = _stats(x32, eps)
-    xhat = (x32 - mean) * rstd
-    y_ref[...] = (xhat * g_ref[...] + b_ref[...]).astype(y_ref.dtype)
-
-
 def _bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref, *, eps: float):
     i = pl.program_id(0)
 

@@ -21,6 +21,13 @@ Writes ATTN_FIXEDCOST_r05.json.  Timing: paired-count grad+scan chains with
 fetch-forced completion, MIN over repeats (signal sized to hundreds of ms,
 see CLAUDE.md timing notes).
 
+OUTCOME (committed in ATTN_FIXEDCOST_r05.json and the kernel docstring):
+the hypothesis was REFUTED — the empty-body call costs 0.005-0.008 ms
+(~1.5% of the real call; ~0.3-0.5 us/program), and block_b>1 makes the
+backward SLOWER (0.464/0.490/0.527/0.568 ms at 1/2/4/8).  The kernel's
+residual over its composite bound is in-program Mosaic layout handling of
+the 96-lane head slices, with every realignment separately measured out.
+
 Usage: python tools/attn_fixed_cost.py [--b 16] [--t 448] [--parity]
 """
 
