@@ -390,7 +390,7 @@ def train(args, hp: Config):
     # are just emitted in bursts.  The flush doubles as backpressure: it
     # blocks until the most recent dispatched step has completed, bounding
     # the device-side queue at log_interval steps.
-    log_interval = getattr(args, "log_interval", None) or 25
+    log_interval = getattr(args, "log_interval", None) or 50
     pending = []
     last_host_losses = None
     window_tic = time.time()

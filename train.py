@@ -32,11 +32,14 @@ def build_parser():
     parser.add_argument('--eval_steps', type=str, default=None)
     parser.add_argument('--checkpoint_interval', type=int, default=10000)
     parser.add_argument('--summary_interval', type=int, default=100)
-    parser.add_argument('--log_interval', type=int, default=25,
+    parser.add_argument('--log_interval', type=int, default=50,
                         help='steps between batched device->host loss fetches;'
                              ' every step still gets a log line, emitted in'
-                             ' bursts (keeps wall sec/step at device speed on'
-                             ' high-RTT links)')
+                             ' bursts. Each flush costs ~1 dispatch RTT, so'
+                             ' per-step overhead is ~RTT/interval (OPRUN_r05:'
+                             ' 0.042 s/step steady at 50 on a ~0.3 s-RTT'
+                             ' link); 50 keeps logging latency under a few'
+                             ' seconds at flagship step rates')
     parser.add_argument('--restore_from', default=None)
     parser.add_argument('--hparams', default='', help='k=v,... overrides')
     parser.add_argument('--multihost', action='store_true',
