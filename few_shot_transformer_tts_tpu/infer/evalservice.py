@@ -114,12 +114,27 @@ def make_saver_pool(kind=None, workers: int = 5):
     14.1 s vs thread pool 27.5 s — 5 threads serialize on the GIL through
     matplotlib and the Python DSP glue.  Processes are the default;
     ``--saver_pool thread|process`` overrides.
+
+    Start method: when an accelerator runtime is already initialized in this
+    process (the pool is created after synthesize_batch), forking would
+    duplicate PJRT/gRPC threads mid-state and can deadlock a child — so a
+    non-CPU backend switches the pool to the ``spawn`` context (workers pay
+    a one-time re-import, amortized over an eval pass).  CPU-backend runs
+    keep the default (fork on Linux, the measured-fast path).
     """
     if kind == "thread":
         return ThreadPoolExecutor(max_workers=workers)
-    if kind == "process":
-        return ProcessPoolExecutor(max_workers=workers)
-    return ProcessPoolExecutor(max_workers=workers)
+    import sys
+    ctx = None
+    jaxmod = sys.modules.get("jax")
+    if jaxmod is not None:
+        try:
+            if jaxmod.default_backend() != "cpu":
+                import multiprocessing
+                ctx = multiprocessing.get_context("spawn")
+        except Exception:
+            pass
+    return ProcessPoolExecutor(max_workers=workers, mp_context=ctx)
 
 
 def main(args, hp: Config):
@@ -224,14 +239,20 @@ def main(args, hp: Config):
             state = ckpt_lib.load_state(ckpt_path, state_template)
         except Exception:
             # a sharded .d dir can be observed mid-write (each shard file is
-            # atomic, the set is not); retry on the next scan, give up after 3
+            # atomic, the set is not).  Wait a full scan_interval between
+            # retries and allow ~10 minutes of them before giving up — a
+            # multi-rank trainer on slow storage can legitimately take tens
+            # of seconds to land all shard files.
             traceback.print_exc()
             retries[ckpt_path] = retries.get(ckpt_path, 0) + 1
-            if retries[ckpt_path] >= 3:
+            max_retries = max(3, int(600 // max(args.scan_interval, 1)))
+            if retries[ckpt_path] >= max_retries:
                 logging.error("Giving up on %s after %d failed loads",
                               ckpt_path, retries[ckpt_path])
                 finished_ckpt.append(ckpt_path)
-            time.sleep(min(args.scan_interval, 5))
+            else:
+                ckpt.insert(0, (ckpt_path, step))  # retry before moving on
+            time.sleep(args.scan_interval)
             continue
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         logging.info("Running %d batches, to %s", len(batches), eval_path)

@@ -369,10 +369,11 @@ def mha_train(q, k, v, bias, seed, num_heads: int, rate: float, causal: bool,
     q [B,Tq,H*D]; k/v [B,Tk,H*D]; bias [B,Tk] additive (zeros for none;
     pass use_bias=False to skip the add entirely -- the causal dispatch does);
     seed [1,1] int32; scale multiplies q in-kernel (pass d_head**-0.5).
-    ``block_b`` batch rows share one grid program (None = auto by VMEM; the
-    dropout streams are seeded by GLOBAL batch row, so results are identical
-    across block_b choices).  Returns [B,Tq,H*D] with heads already
-    re-packed.  Differentiable in q/k/v.
+    ``block_b`` batch rows share one grid program (None = 1, the measured
+    default — see _block_b_for; must divide B; the dropout streams are
+    seeded by GLOBAL batch row, so results are identical across block_b
+    choices).  Returns [B,Tq,H*D] with heads already re-packed.
+    Differentiable in q/k/v.
     """
     o, _ = _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale,
                 interpret, block_q, use_bias, block_b)
@@ -387,6 +388,9 @@ def _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
     tq_pad = _rup(tq_len, block_q)
     tk_pad = _rup(tk_len, 128)
     block_b = _block_b_for(b, tk_pad, c, block_b)
+    assert b % block_b == 0, (
+        "block_b=%d must divide batch %d (a non-divisor would silently "
+        "leave the last rows' outputs uninitialized)" % (block_b, b))
     qp = _pad_time(q, tq_pad)
     kp = _pad_time(k, tk_pad)
     vp = _pad_time(v, tk_pad)
@@ -443,6 +447,8 @@ def _bwd_rule(num_heads, rate, causal, scale, interpret, block_q, use_bias,
     tq_pad = _rup(tq_len, block_q)
     tk_pad = _rup(tk_len, 128)
     block_b = _block_b_for(b, tk_pad, c, block_b)
+    assert b % block_b == 0, (
+        "block_b=%d must divide batch %d" % (block_b, b))
     qp = _pad_time(q, tq_pad)
     kp = _pad_time(k, tk_pad)
     vp = _pad_time(v, tk_pad)

@@ -125,12 +125,29 @@ _BATCH_KEYS = ("inputs", "input_lengths", "mel_targets", "target_lengths",
 # the fp32 wire.
 
 
+_WIRE_CLIP_WARNED = [False]
+
+
 def quantize_wire_mels(batch: Dict, hp: Config) -> Dict:
     m = batch.get("mel_targets")
     if m is None or m.dtype == np.int16:
         return batch
+    m = np.asarray(m, np.float32)
+    peak = float(np.max(np.abs(m))) if m.size else 0.0
+    if peak > float(hp.max_abs_value) and not _WIRE_CLIP_WARNED[0]:
+        # the int16 wire assumes mels normalized to [-max_abs_value,
+        # max_abs_value] (the corpus pipeline's contract); values beyond it
+        # would be CLIPPED, not just quantized — a silent behavior
+        # divergence from the fp32 wire.  Warn once; disable with
+        # hp.wire_mel_int16=False for unnormalized corpora.
+        _WIRE_CLIP_WARNED[0] = True
+        logging.warning(
+            "int16 mel wire: |mel| max %.3f exceeds hp.max_abs_value=%.1f — "
+            "values will be clipped on upload; set wire_mel_int16=False if "
+            "this corpus is not normalized to the configured scale",
+            peak, hp.max_abs_value)
     scale = 32767.0 / float(hp.max_abs_value)
-    q = np.clip(np.asarray(m, np.float32) * scale, -32767, 32767)
+    q = np.clip(m * scale, -32767, 32767)
     out = dict(batch)
     out["mel_targets"] = np.round(q).astype(np.int16)
     return out
@@ -425,7 +442,12 @@ def train(args, hp: Config):
                     list(np.asarray(hl["aft_losses"])[:len(e["langs"])]))
         pending.clear()
         last_host_losses = host[-1]
-        window_tic = time.time()
+        # window_tic is NOT reset here: the caller resets it after the whole
+        # boundary block (checkpoint save, summary write, inline eval), so
+        # that work is excluded from the per-step windows — matching the old
+        # per-step tic/toc, which also measured only the step+fetch.  A
+        # flush-time reset would smear e.g. a 2-minute inline eval over the
+        # next window's 50 "sec/step" lines.
 
     base_rng = jax.random.key(getattr(args, "seed", 0), impl=hp.prng_impl)
 
@@ -537,6 +559,8 @@ def train(args, hp: Config):
                  global_step % args.checkpoint_interval == 0))
             if run_inline_eval and feeder_eval is not None:
                 _inline_eval(model, state, hp, feeder_eval, logdir, global_step)
+            if boundary:
+                window_tic = time.time()
         else:
             if global_step % args.checkpoint_interval == 0:
                 if sharded_ckpt:
