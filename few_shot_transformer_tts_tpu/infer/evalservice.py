@@ -215,6 +215,27 @@ def main(args, hp: Config):
         tic = time.time()
         ckpt_path, step = ckpt[0]
         ckpt = ckpt[1:]
+        try:
+            state = ckpt_lib.load_state(ckpt_path, state_template)
+        except Exception:
+            # a sharded .d dir can be observed mid-write (each shard file is
+            # atomic, the set is not).  Retry on a short cadence for ~10
+            # minutes — a multi-rank trainer on slow storage can take tens
+            # of seconds to land all shard files.  A checkpoint that never
+            # loads is abandoned WITHOUT sleeping, so later ready
+            # checkpoints in the queue are not blocked behind it.
+            traceback.print_exc()
+            retries[ckpt_path] = retries.get(ckpt_path, 0) + 1
+            retry_sleep = min(max(args.scan_interval, 1), 30)
+            max_retries = max(3, int(600 // retry_sleep))
+            if retries[ckpt_path] >= max_retries:
+                logging.error("Giving up on %s after %d failed loads",
+                              ckpt_path, retries[ckpt_path])
+                finished_ckpt.append(ckpt_path)
+            else:
+                ckpt.insert(0, (ckpt_path, step))  # retry before moving on
+                time.sleep(retry_sleep)
+            continue
         eval_path = os.path.join(logdir, "eval_%d" % step)
         logging.info("Evaluating %s", ckpt_path)
         os.makedirs(eval_path, exist_ok=True)
@@ -235,25 +256,6 @@ def main(args, hp: Config):
         cer = infolog.LookupWindow("cer", reduction="avg")
         summary_windows.append(cer)
 
-        try:
-            state = ckpt_lib.load_state(ckpt_path, state_template)
-        except Exception:
-            # a sharded .d dir can be observed mid-write (each shard file is
-            # atomic, the set is not).  Wait a full scan_interval between
-            # retries and allow ~10 minutes of them before giving up — a
-            # multi-rank trainer on slow storage can legitimately take tens
-            # of seconds to land all shard files.
-            traceback.print_exc()
-            retries[ckpt_path] = retries.get(ckpt_path, 0) + 1
-            max_retries = max(3, int(600 // max(args.scan_interval, 1)))
-            if retries[ckpt_path] >= max_retries:
-                logging.error("Giving up on %s after %d failed loads",
-                              ckpt_path, retries[ckpt_path])
-                finished_ckpt.append(ckpt_path)
-            else:
-                ckpt.insert(0, (ckpt_path, step))  # retry before moving on
-            time.sleep(args.scan_interval)
-            continue
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         logging.info("Running %d batches, to %s", len(batches), eval_path)
         batches = batches[:hp.max_eval_batches]

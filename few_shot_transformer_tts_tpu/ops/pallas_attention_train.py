@@ -305,7 +305,7 @@ def _pad_time(x, t_pad):
     return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
 
 
-def _block_b_for(b, tk_pad, c, block_b=None):
+def _block_b_for(block_b=None):
     """Batch rows per grid program.  DEFAULT 1 — measured round 5 and
     REJECTED as a speedup (ATTN_FIXEDCOST_r05.json, B=16/T=448/H=8 chip
     measurements, tools/attn_fixed_cost.py):
@@ -387,7 +387,7 @@ def _fwd(q, k, v, bias, seed, num_heads, rate, causal, scale, interpret,
     block_q = _block_q_for(tq_len, block_q)
     tq_pad = _rup(tq_len, block_q)
     tk_pad = _rup(tk_len, 128)
-    block_b = _block_b_for(b, tk_pad, c, block_b)
+    block_b = _block_b_for(block_b)
     assert b % block_b == 0, (
         "block_b=%d must divide batch %d (a non-divisor would silently "
         "leave the last rows' outputs uninitialized)" % (block_b, b))
@@ -446,7 +446,7 @@ def _bwd_rule(num_heads, rate, causal, scale, interpret, block_q, use_bias,
     block_q = _block_q_for(tq_len, block_q)
     tq_pad = _rup(tq_len, block_q)
     tk_pad = _rup(tk_len, 128)
-    block_b = _block_b_for(b, tk_pad, c, block_b)
+    block_b = _block_b_for(block_b)
     assert b % block_b == 0, (
         "block_b=%d must divide batch %d" % (block_b, b))
     qp = _pad_time(q, tq_pad)

@@ -133,7 +133,10 @@ def quantize_wire_mels(batch: Dict, hp: Config) -> Dict:
     if m is None or m.dtype == np.int16:
         return batch
     m = np.asarray(m, np.float32)
-    peak = float(np.max(np.abs(m))) if m.size else 0.0
+    # the peak scan exists only to feed the warn-once latch; skip the extra
+    # full-array pass on every later step of the run
+    peak = (float(np.max(np.abs(m)))
+            if m.size and not _WIRE_CLIP_WARNED[0] else 0.0)
     if peak > float(hp.max_abs_value) and not _WIRE_CLIP_WARNED[0]:
         # the int16 wire assumes mels normalized to [-max_abs_value,
         # max_abs_value] (the corpus pipeline's contract); values beyond it
@@ -424,8 +427,18 @@ def train(args, hp: Config):
                     pass
         host = [{k: np.asarray(v) for k, v in e["losses"].items()}
                 for e in pending]
-        dur = (time.time() - window_tic) / len(pending)
-        for e, hl in zip(pending, host):
+        # Apportion the window over the burst.  Equal division is the model
+        # (device completion times are not observed per step), EXCEPT that a
+        # step whose host-side dispatch blocked for seconds (an XLA compile
+        # of a new lattice shape, 20-150 s remote on this host, or a tunnel
+        # stall) keeps its excess on its own line — otherwise the first
+        # flush of a cold-cache run would smear the compile over all
+        # log_interval lines and poison the sec/step window for ~100 steps.
+        total = time.time() - window_tic
+        extras = [max(0.0, e.get("dispatch_s", 0.0) - 1.0) for e in pending]
+        base = max(0.0, total - sum(extras)) / len(pending)
+        for e, hl, extra in zip(pending, host, extras):
+            dur = base + extra
             time_window.append(dur)
             loss_window.append(float(hl["mse_loss"]))
             audio_s = e["frames"] * hp.frame_shift_ms / 1000.0
@@ -484,7 +497,12 @@ def train(args, hp: Config):
         rng = jax.random.fold_in(base_rng, global_step)
 
         try:
+            dispatch_tic = time.perf_counter()
             state, losses = train_step(state, dbatch, rng)
+            # dispatch is async and returns in ~ms — unless this shape needs
+            # an XLA compile (or the tunnel stalls), in which case the call
+            # blocks; the duration feeds the flush-time apportioning above
+            dispatch_s = time.perf_counter() - dispatch_tic
             # prefetch + upload the next batch while the device computes
             # (dispatch is async; the H2D copy overlaps the step)
             next_batch, next_dbatch = fetch_device_batch()
@@ -518,6 +536,7 @@ def train(args, hp: Config):
 
         if rank == 0:
             entry = {"step": global_step, "losses": losses,
+                     "dispatch_s": dispatch_s,
                      "frames": int(np.sum(np.asarray(
                          prev_batch["target_lengths"])))}
             if hp.multi_lingual:

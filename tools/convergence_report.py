@@ -242,8 +242,13 @@ def main():
         in_l = int(np.asarray(batch["input_lengths"])[i])
         gt = np.asarray(batch["mel_targets"])[i][:tgt_l].T
         ar = np.asarray(results["mel_aft"])[i][:gen_l].T
-        a = np.asarray(aligns[diag[i]["layer"]][i, diag[i]["head"],
-                                                :gen_l, :in_l]).T
+        # a degenerate decode (e.g. an early checkpoint stopping after a
+        # frame or two, or every head parked on one position) yields no
+        # qualifying head — fall back to L0/H0 and say so in the title
+        # instead of KeyError-ing after the expensive AR decode
+        d_layer = diag[i].get("layer", 0)
+        d_head = diag[i].get("head", 0)
+        a = np.asarray(aligns[d_layer][i, d_head, :gen_l, :in_l]).T
         fig, axes = plt.subplots(3, 1, figsize=(7.5, 6.4), dpi=110)
         axes[0].imshow(gt, origin="lower", aspect="auto", cmap="magma",
                        vmin=-4, vmax=4)
@@ -253,9 +258,14 @@ def main():
         axes[1].set_title("AR decode (%d frames, DTW-MSE %.3f)"
                           % (gen_l, dtw[i]))
         axes[2].imshow(a, origin="lower", aspect="auto", cmap="viridis")
-        axes[2].set_title("enc-dec attention L%d H%d (R2=%.3f, slope=%.3f)"
-                          % (diag[i]["layer"], diag[i]["head"],
-                             diag[i]["r2"], diag[i]["slope"]))
+        if "head" in diag[i]:
+            axes[2].set_title("enc-dec attention L%d H%d (R2=%.3f, "
+                              "slope=%.3f)" % (d_layer, d_head,
+                                               diag[i]["r2"],
+                                               diag[i]["slope"]))
+        else:
+            axes[2].set_title("enc-dec attention L%d H%d "
+                              "(no diagonal head)" % (d_layer, d_head))
         axes[2].set_xlabel("decoder frame")
         axes[2].set_ylabel("input position")
         fig.tight_layout()

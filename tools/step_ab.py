@@ -36,8 +36,6 @@ def main():
     if jax.default_backend() != "tpu":
         print(json.dumps({"skip": "no tpu backend"}))
         return
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _example_batch
     from few_shot_transformer_tts_tpu.config import default_config
